@@ -1,0 +1,73 @@
+"""CDC flagship pipeline: change-event tail -> exactly-once lake upsert.
+
+Composition of the engine's pieces (north star of BASELINE.json):
+
+    change_stream / read_parquet           (binlog-style tail, epoch slices)
+      -> LakeTable.apply_epoch             (combiner + hash shuffle + owners)
+      -> LakeTable.compact / read          (LWW merge-on-read, tombstone drop)
+      -> snapshot_hashes                   (per-row sha256(content) invariant)
+
+The reference analog of the whole chain is the example NiFi flow
+(ExecuteRuleEngine_Example.xml:18-23): source -> per-record transform ->
+route -> sink — re-expressed as streaming Dataset stages.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.hashing import sha256_column
+from ..state.lake import LakeTable
+
+
+def ingest_stream(
+    lake: LakeTable,
+    epochs: list,
+    *,
+    start_epoch: int = 0,
+    batch_size: int | None = None,
+) -> list[dict]:
+    """Apply a sequence of epoch Datasets to the lake, resuming past any
+    already-committed epoch (checkpoint-resume contract). ``epochs`` is a
+    list of ``ray.data.Dataset`` or zero-arg factories returning one (so a
+    resumed run doesn't even build the skipped epoch's pipeline)."""
+    manifests = []
+    committed = set(lake.committed_epochs())
+    for i, e in enumerate(epochs):
+        eid = start_epoch + i
+        if eid in committed:
+            manifests.append(lake.apply_epoch(None, eid))  # returns stored manifest
+            continue
+        ds = e() if callable(e) else e
+        manifests.append(lake.apply_epoch(ds, eid, batch_size=batch_size))
+    return manifests
+
+
+def snapshot_hashes(lake: LakeTable):
+    """Streaming per-row content fingerprint of the current table state:
+    ``(key_cols..., seq, content_sha256)`` — the scale-safe form of the
+    north rule's sha256 verification (never materializes content on the
+    driver)."""
+    key_cols = list(lake.key_cols)
+    seq_col = lake.seq_col
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        out = batch.select([c for c in key_cols + [seq_col] if c in batch.column_names])
+        return out.append_column(
+            "content_sha256", pa.array(sha256_column(batch["content"]), pa.string())
+        )
+
+    return lake.read().map_batches(fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def replay_verify(lake: LakeTable, expected: pa.Table) -> bool:
+    """Compare the lake's current state against an independently computed
+    snapshot (``sources.changestream.expected_snapshot``) by per-row
+    sha256(content) equality on the key. Intended for test scales."""
+    got = snapshot_hashes(lake).to_pandas()
+    exp = expected.select(list(lake.key_cols) + [lake.seq_col, "content"]).to_pandas()
+    exp["content_sha256"] = sha256_column(exp.pop("content").tolist())
+    keys = list(lake.key_cols)
+    got = got.sort_values(keys).reset_index(drop=True)[keys + [lake.seq_col, "content_sha256"]]
+    exp = exp.sort_values(keys).reset_index(drop=True)[keys + [lake.seq_col, "content_sha256"]]
+    return got.equals(exp)

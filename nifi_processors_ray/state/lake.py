@@ -1,0 +1,468 @@
+"""LakeTable — an exactly-once, LSM-style keyed Parquet lake for CDC ingest.
+
+This is the engine's heart per BASELINE.json's north rule: a binlog-style
+change-event tail of upserts/deletes keyed by ``key_cols`` (canonically
+``(repo, path)``) and ordered by a strictly-increasing ``seq`` is applied
+into a Parquet table with last-writer-wins (LWW) semantics, additive schema
+evolution, an epoch-fenced idempotent commit log (exactly-once under Ray's
+at-least-once task retries), checkpoint-resumable replay, and per-partition
+lineage counters.
+
+The reference analog is NiFi's StateManager record + per-row routing
+(ExecuteRuleEngine.java:108,315-322,559-564) — informational only; the
+durable, recoverable design here is new and Ray-Data-first.
+
+On-disk layout (all commits are atomic ``os.replace`` renames)::
+
+    root/
+      _lake.json                      # table config: keys, seq/op cols, P
+      _manifests/epoch-<e>.json       # commit fence + per-pid lineage counters
+      _manifests/compact-<v>.json     # compaction fence: folded epochs, new base
+      deltas/pid=<p>/epoch-<e>.parquet
+      base/v=<v>/pid=<p>.parquet
+
+Dataflow per epoch (all streaming, no full materialization):
+
+1. ``map_batches(partial)``: derive ``_pid = hash64(*key_cols) % P`` and
+   reduce each batch to its per-key max-``seq`` row (combiner). This bounds
+   the shuffle fan-in of a hot key to one row per upstream batch — the
+   skew/hot-key mitigation that matters at 10^10 events (a single hot
+   ``(repo, path)`` can never ship more rows through the shuffle than there
+   are input blocks).
+2. ``groupby("_pid").map_groups(write_delta)``: the only wide op. Each
+   partition-owner task LWW-reduces its group, optionally salts oversized
+   groups into sub-files by ``hash(path)`` (hot-repo splitting), and writes
+   ``deltas/pid=<p>/epoch-<e>.parquet`` via temp-file + atomic rename.
+   Deterministic names + deterministic content make retried tasks idempotent.
+3. The driver writes ``_manifests/epoch-<e>.json`` (atomic rename) only
+   after every partition file is durable — the commit fence. Replaying an
+   epoch whose manifest exists is a no-op; replaying an uncommitted epoch
+   overwrites the same file names with identical bytes.
+
+Reads are merge-on-read: one task per pid streams ``base + committed
+deltas``, resolves LWW, drops tombstones. ``compact()`` folds committed
+deltas into a new base version (copy-on-write) so read amplification stays
+bounded; schema evolution is handled by Arrow schema unification with
+null-backfill at every concat point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.hashing import hash64_columns
+
+PID_COL = "_pid"
+
+
+# ---------------------------------------------------------------------------
+# pure-Arrow kernels
+# ---------------------------------------------------------------------------
+
+
+def concat_evolve(tables: list[pa.Table]) -> pa.Table:
+    """Concat with additive schema evolution (missing columns null-backfilled)."""
+    tables = [t for t in tables if t is not None and t.num_rows >= 0]
+    if len(tables) == 1:
+        return tables[0]
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def latest_by_key(table: pa.Table, key_cols: list[str], seq_col: str) -> pa.Table:
+    """LWW reduce: keep, per key, the row with max ``seq``. Pure Arrow
+    (group-aggregate + inner join back), no pandas, no Python rows.
+
+    Assumes ``seq`` values are unique per key occurrence (a strictly
+    increasing commit sequence), so the join-back cannot fan out.
+    """
+    if table.num_rows == 0:
+        return table
+    winners = table.select(key_cols + [seq_col]).group_by(key_cols).aggregate(
+        [(seq_col, "max")]
+    )
+    winners = winners.rename_columns(key_cols + [seq_col])
+    return table.join(winners, keys=key_cols + [seq_col], join_type="inner")
+
+
+def _atomic_write_parquet(table: pa.Table, final_path: str) -> int:
+    os.makedirs(os.path.dirname(final_path), exist_ok=True)
+    tmp = final_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp, compression="zstd")
+    size = os.path.getsize(tmp)
+    os.replace(tmp, final_path)
+    return size
+
+
+def _atomic_write_json(obj: dict, final_path: str) -> None:
+    os.makedirs(os.path.dirname(final_path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(final_path))
+    with os.fdopen(fd, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final_path)
+
+
+# ---------------------------------------------------------------------------
+# stage callables (run inside Ray tasks)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _PartialReduce:
+    """Stage 1: pid derivation + per-batch combiner (see module docstring)."""
+
+    key_cols: list[str]
+    seq_col: str
+    num_partitions: int
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if PID_COL in batch.column_names:
+            batch = batch.drop_columns([PID_COL])
+        reduced = latest_by_key(batch, self.key_cols, self.seq_col)
+        pid = hash64_columns(reduced, self.key_cols) % np.uint64(self.num_partitions)
+        return reduced.append_column(PID_COL, pa.array(pid.astype(np.int64)))
+
+
+@dataclass
+class _DeltaWriter:
+    """Stage 2: partition-owner delta write (one call per pid group)."""
+
+    root: str
+    epoch: int
+    key_cols: list[str]
+    seq_col: str
+    op_col: str | None
+    salt_threshold: int = 2_000_000  # rows per delta file before salting
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        pid = int(group[PID_COL][0].as_py())
+        rows_in = group.num_rows
+        delta = latest_by_key(group.drop_columns([PID_COL]), self.key_cols, self.seq_col)
+        deletes = 0
+        if self.op_col and self.op_col in delta.column_names:
+            deletes = int(pc.sum(pc.equal(delta[self.op_col], "delete")).as_py() or 0)
+        delta = delta.sort_by([(k, "ascending") for k in self.key_cols])
+        base = os.path.join(self.root, "deltas", f"pid={pid}")
+        nbytes = 0
+        if delta.num_rows > self.salt_threshold:
+            # hot-partition salting: deterministic split by second key column's
+            # hash so one giant repo's epoch delta becomes several bounded files
+            salt = hash64_columns(delta, self.key_cols[-1:]) % np.uint64(
+                max(2, delta.num_rows // self.salt_threshold + 1)
+            )
+            for s in np.unique(salt):
+                part = delta.filter(pa.array(salt == s))
+                nbytes += _atomic_write_parquet(
+                    part, os.path.join(base, f"epoch-{self.epoch}-s{int(s)}.parquet")
+                )
+        else:
+            nbytes = _atomic_write_parquet(
+                delta, os.path.join(base, f"epoch-{self.epoch}.parquet")
+            )
+        return pa.table(
+            {
+                "pid": pa.array([pid], pa.int64()),
+                "rows_in": pa.array([rows_in], pa.int64()),
+                "rows_delta": pa.array([delta.num_rows], pa.int64()),
+                "deletes": pa.array([deletes], pa.int64()),
+                "bytes": pa.array([nbytes], pa.int64()),
+            }
+        )
+
+
+@dataclass
+class _PartitionResolver:
+    """Merge-on-read / compaction kernel for one pid: stream base + deltas,
+    resolve LWW, drop tombstones (for reads) or keep them (for compaction
+    of a partial epoch range — we always compact the full range, so drop)."""
+
+    root: str
+    key_cols: list[str]
+    seq_col: str
+    op_col: str | None
+    schema: pa.Schema | None
+    drop_tombstones: bool = True
+    drop_meta: bool = False
+
+    def resolve_pid(self, pid: int, base_version: int, epochs: list[int]) -> pa.Table:
+        tables = []
+        base_path = os.path.join(self.root, "base", f"v={base_version}", f"pid={pid}.parquet")
+        if base_version >= 0 and os.path.exists(base_path):
+            tables.append(pq.read_table(base_path))
+        ddir = os.path.join(self.root, "deltas", f"pid={pid}")
+        if os.path.isdir(ddir):
+            eset = set(epochs)
+            for fn in sorted(os.listdir(ddir)):
+                # epoch-<e>.parquet or epoch-<e>-s<k>.parquet
+                stem = fn.split(".parquet")[0]
+                epoch = int(stem.split("-")[1])
+                if epoch in eset:
+                    tables.append(pq.read_table(os.path.join(ddir, fn)))
+        if not tables:
+            return self._empty()
+        merged = latest_by_key(concat_evolve(tables), self.key_cols, self.seq_col)
+        if self.drop_tombstones and self.op_col and self.op_col in merged.column_names:
+            merged = merged.filter(pc.not_equal(merged[self.op_col], "delete"))
+        if self.schema is not None:
+            merged = concat_evolve([self.schema.empty_table(), merged])
+        if self.drop_meta and self.op_col and self.op_col in merged.column_names:
+            merged = merged.drop_columns([self.op_col])
+        return merged
+
+    def _empty(self) -> pa.Table:
+        schema = self.schema if self.schema is not None else pa.schema([])
+        if self.drop_meta and self.op_col and self.op_col in schema.names:
+            schema = pa.schema([f for f in schema if f.name != self.op_col])
+        return schema.empty_table()
+
+
+# ---------------------------------------------------------------------------
+# the lake table
+# ---------------------------------------------------------------------------
+
+
+class LakeTable:
+    def __init__(
+        self,
+        root: str,
+        *,
+        key_cols: tuple[str, ...] = ("repo", "path"),
+        seq_col: str = "seq",
+        op_col: str | None = "op",
+        num_partitions: int = 32,
+    ):
+        self.root = root
+        cfg_path = os.path.join(root, "_lake.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            self.key_cols = list(cfg["key_cols"])
+            self.seq_col = cfg["seq_col"]
+            self.op_col = cfg["op_col"]
+            self.num_partitions = cfg["num_partitions"]
+        else:
+            self.key_cols = list(key_cols)
+            self.seq_col = seq_col
+            self.op_col = op_col
+            self.num_partitions = num_partitions
+            _atomic_write_json(
+                {
+                    "key_cols": self.key_cols,
+                    "seq_col": seq_col,
+                    "op_col": op_col,
+                    "num_partitions": num_partitions,
+                },
+                cfg_path,
+            )
+
+    # -- commit log ---------------------------------------------------------
+
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "_manifests")
+
+    def committed_epochs(self) -> list[int]:
+        d = self._manifest_dir
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(fn[len("epoch-") : -len(".json")])
+            for fn in os.listdir(d)
+            if fn.startswith("epoch-") and fn.endswith(".json")
+        )
+
+    def _read_manifest(self, name: str) -> dict:
+        with open(os.path.join(self._manifest_dir, name)) as f:
+            return json.load(f)
+
+    def latest_compaction(self) -> tuple[int, list[int]]:
+        """-> (base_version, epochs_folded_into_base); (-1, []) if none."""
+        d = self._manifest_dir
+        versions = []
+        if os.path.isdir(d):
+            versions = sorted(
+                int(fn[len("compact-") : -len(".json")])
+                for fn in os.listdir(d)
+                if fn.startswith("compact-") and fn.endswith(".json")
+            )
+        if not versions:
+            return -1, []
+        m = self._read_manifest(f"compact-{versions[-1]}.json")
+        return versions[-1], list(m["epochs"])
+
+    def schema(self) -> pa.Schema | None:
+        """Unified logical schema as of the last committed epoch/compaction."""
+        epochs = self.committed_epochs()
+        if not epochs:
+            return None
+        m = self._read_manifest(f"epoch-{epochs[-1]}.json")
+        return pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(m["schema_hex"])))
+
+    # -- ingest -------------------------------------------------------------
+
+    def apply_epoch(self, ds, epoch: int, *, batch_size: int | None = None) -> dict:
+        """Apply one epoch's change events (a ``ray.data.Dataset`` with
+        ``key_cols + [seq_col, op_col] + payload``) exactly once.
+
+        Returns the epoch manifest (per-pid lineage counters). If the epoch
+        is already committed this is a resume no-op that returns the stored
+        manifest — the checkpoint/resume contract.
+        """
+        mpath = os.path.join(self._manifest_dir, f"epoch-{epoch}.json")
+        if os.path.exists(mpath):
+            return self._read_manifest(f"epoch-{epoch}.json")
+
+        prev_schema = self.schema()
+        in_schema = ds.schema()
+        cur_schema = pa.schema(
+            [pa.field(n, t) for n, t in zip(in_schema.names, in_schema.types)]
+        )
+        unified = (
+            pa.unify_schemas([prev_schema, cur_schema], promote_options="default")
+            if prev_schema is not None
+            else cur_schema
+        )
+
+        reduced = ds.map_batches(
+            _PartialReduce(self.key_cols, self.seq_col, self.num_partitions),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            **({"batch_size": batch_size} if batch_size else {}),
+        )
+        writer = _DeltaWriter(self.root, epoch, self.key_cols, self.seq_col, self.op_col)
+
+        def write_delta(group: pa.Table) -> pa.Table:
+            return writer(group)
+
+        stats_ds = reduced.groupby(PID_COL).map_groups(
+            write_delta, batch_format="pyarrow"
+        )
+        stats = stats_ds.take_all()  # P small rows
+
+        manifest = {
+            "epoch": epoch,
+            "num_partitions": self.num_partitions,
+            "partitions": {str(s["pid"]): {k: int(s[k]) for k in
+                           ("rows_in", "rows_delta", "deletes", "bytes")} for s in stats},
+            "rows_in": int(sum(s["rows_in"] for s in stats)),
+            "rows_delta": int(sum(s["rows_delta"] for s in stats)),
+            "deletes": int(sum(s["deletes"] for s in stats)),
+            "bytes": int(sum(s["bytes"] for s in stats)),
+            "schema_hex": unified.serialize().to_pybytes().hex(),
+        }
+        _atomic_write_json(manifest, mpath)
+        return manifest
+
+    # -- read / compact -----------------------------------------------------
+
+    def _resolver(self, drop_tombstones=True, drop_meta=False) -> _PartitionResolver:
+        return _PartitionResolver(
+            self.root,
+            self.key_cols,
+            self.seq_col,
+            self.op_col,
+            self.schema(),
+            drop_tombstones=drop_tombstones,
+            drop_meta=drop_meta,
+        )
+
+    def _pending_state(self) -> tuple[int, list[int]]:
+        """-> (base_version, committed epochs not yet folded into base)."""
+        base_version, folded = self.latest_compaction()
+        pending = [e for e in self.committed_epochs() if e not in set(folded)]
+        return base_version, pending
+
+    def read(self, *, drop_meta: bool = True):
+        """Current table state as a streaming ``ray.data.Dataset`` — one
+        merge-on-read task per pid, nothing materialized on the driver."""
+        import ray.data as rd
+
+        base_version, pending = self._pending_state()
+        resolver = self._resolver(drop_tombstones=True, drop_meta=drop_meta)
+
+        def resolve(batch: pa.Table) -> pa.Table:
+            out = [
+                resolver.resolve_pid(int(pid), base_version, pending)
+                for pid in batch["pid"].to_pylist()
+            ]
+            return concat_evolve(out) if out else resolver._empty()
+
+        pids = rd.from_items([{"pid": i} for i in range(self.num_partitions)])
+        return pids.repartition(self.num_partitions).map_batches(
+            resolve, batch_format="pyarrow", batch_size=1
+        )
+
+    def read_table(self) -> pa.Table:
+        """Small-scale convenience: fully materialized current state,
+        resolved WITHOUT Ray (driver-side pyarrow) — used by tests/oracles."""
+        base_version, pending = self._pending_state()
+        resolver = self._resolver(drop_tombstones=True, drop_meta=True)
+        return concat_evolve(
+            [resolver.resolve_pid(p, base_version, pending) for p in range(self.num_partitions)]
+        )
+
+    def compact(self) -> dict:
+        """Copy-on-write compaction: fold all committed deltas + current base
+        into base version v+1, dropping tombstones. Idempotent and atomic
+        (deterministic file names, manifest fence). Delta files of folded
+        epochs are removed only after the compaction manifest commits."""
+        import ray.data as rd
+
+        base_version, pending = self._pending_state()
+        new_version = base_version + 1
+        if not pending and base_version >= 0:
+            return self._read_manifest(f"compact-{base_version}.json")
+        resolver = self._resolver(drop_tombstones=True, drop_meta=False)
+        root = self.root
+
+        def compact_pid(batch: pa.Table) -> pa.Table:
+            rows = []
+            for pid in batch["pid"].to_pylist():
+                t = resolver.resolve_pid(int(pid), base_version, pending)
+                nbytes = _atomic_write_parquet(
+                    t, os.path.join(root, "base", f"v={new_version}", f"pid={int(pid)}.parquet")
+                )
+                rows.append((int(pid), t.num_rows, nbytes))
+            return pa.table(
+                {
+                    "pid": pa.array([r[0] for r in rows], pa.int64()),
+                    "rows": pa.array([r[1] for r in rows], pa.int64()),
+                    "bytes": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            )
+
+        pids = rd.from_items([{"pid": i} for i in range(self.num_partitions)])
+        stats = (
+            pids.repartition(self.num_partitions)
+            .map_batches(compact_pid, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        )
+        _, folded_before = self.latest_compaction()
+        manifest = {
+            "version": new_version,
+            "epochs": sorted(set(folded_before) | set(pending)),
+            "rows": int(sum(s["rows"] for s in stats)),
+            "bytes": int(sum(s["bytes"] for s in stats)),
+        }
+        _atomic_write_json(
+            manifest, os.path.join(self._manifest_dir, f"compact-{new_version}.json")
+        )
+        # GC folded deltas + previous base (safe: fenced by the manifest)
+        for pid in range(self.num_partitions):
+            ddir = os.path.join(self.root, "deltas", f"pid={pid}")
+            if os.path.isdir(ddir):
+                for fn in os.listdir(ddir):
+                    e = int(fn.split(".parquet")[0].split("-")[1])
+                    if e in set(pending):
+                        os.unlink(os.path.join(ddir, fn))
+        return manifest

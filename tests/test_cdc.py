@@ -1,0 +1,166 @@
+"""CDC lake: LWW correctness, exactly-once replay, resume, schema evolution,
+deletes — verified against an independent pyarrow-only snapshot
+(north rule: per-row sha256(content) equality after full replay)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from nifi_processors_ray.pipelines.cdc import ingest_stream, replay_verify
+from nifi_processors_ray.sources.changestream import (
+    change_stream,
+    change_stream_batch,
+    expected_snapshot,
+)
+from nifi_processors_ray.state.lake import LakeTable, latest_by_key
+
+N = 8000
+EPOCHS = 4
+
+
+def _events(author_from=None):
+    return change_stream_batch(0, N, seed=7, n_repos=20, paths_per_repo=50,
+                               author_from=author_from)
+
+
+def _epoch_datasets(author_from=None):
+    per = N // EPOCHS
+    return [
+        rd.from_arrow(
+            change_stream_batch(i * per, per, seed=7, n_repos=20, paths_per_repo=50,
+                                author_from=author_from)
+        )
+        for i in range(EPOCHS)
+    ]
+
+
+def test_generator_partition_independent():
+    whole = change_stream_batch(0, 1000, seed=3)
+    parts = pa.concat_tables(
+        [change_stream_batch(0, 170, seed=3), change_stream_batch(170, 830, seed=3)]
+    )
+    assert whole.equals(parts)
+
+
+def test_change_stream_dataset_matches_batch():
+    ds = change_stream(500, num_blocks=7, seed=11)
+    got = ds.to_arrow_refs()
+    tbl = pa.concat_tables([pa.Table.from_pandas(ds.to_pandas())])
+    direct = change_stream_batch(0, 500, seed=11)
+    assert tbl.sort_by("seq").equals(direct.select(tbl.column_names).sort_by("seq"))
+
+
+def test_latest_by_key():
+    t = pa.table(
+        {
+            "repo": ["a", "a", "b", "a"],
+            "path": ["p", "p", "p", "q"],
+            "seq": [1, 5, 2, 3],
+            "v": ["old", "new", "b1", "q1"],
+        }
+    )
+    out = latest_by_key(t, ["repo", "path"], "seq").sort_by("seq")
+    assert out["v"].to_pylist() == ["b1", "q1", "new"]
+
+
+def test_full_replay_matches_reference_snapshot(tmp_path):
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=8)
+    ingest_stream(lake, _epoch_datasets())
+    assert replay_verify(lake, expected_snapshot(_events()))
+
+
+def test_epoch_replay_is_idempotent(tmp_path):
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=8)
+    eps = _epoch_datasets()
+    ingest_stream(lake, eps)
+    # duplicate delivery of every epoch: committed manifests short-circuit
+    m2 = ingest_stream(lake, _epoch_datasets())
+    assert [m["epoch"] for m in m2] == list(range(EPOCHS))
+    assert replay_verify(lake, expected_snapshot(_events()))
+
+
+def test_resume_after_partial_ingest(tmp_path):
+    # kill-after-epoch-k: ingest only first 2 epochs, then "resume" the run
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=8)
+    ingest_stream(lake, _epoch_datasets()[:2])
+    assert lake.committed_epochs() == [0, 1]
+    lake2 = LakeTable(str(tmp_path / "lake"))  # reopen from disk config
+    ingest_stream(lake2, _epoch_datasets())
+    assert lake2.committed_epochs() == [0, 1, 2, 3]
+    assert replay_verify(lake2, expected_snapshot(_events()))
+
+
+def test_uncommitted_epoch_is_replayed(tmp_path):
+    # simulate a crash between delta write and manifest commit
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    eps = _epoch_datasets()
+    ingest_stream(lake, eps[:1])
+    os.unlink(os.path.join(str(tmp_path / "lake"), "_manifests", "epoch-0.json"))
+    assert lake.committed_epochs() == []
+    ingest_stream(lake, _epoch_datasets())  # epoch 0 rewritten identically
+    assert replay_verify(lake, expected_snapshot(_events()))
+
+
+def test_compaction_preserves_state_and_bounds_files(tmp_path):
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=8)
+    ingest_stream(lake, _epoch_datasets())
+    before = expected_snapshot(_events())
+    m = lake.compact()
+    assert sorted(m["epochs"]) == list(range(EPOCHS))
+    assert replay_verify(lake, before)
+    # folded deltas are GC'd
+    for pid in range(8):
+        d = tmp_path / "lake" / "deltas" / f"pid={pid}"
+        assert not d.exists() or not list(d.iterdir())
+    # further epochs after compaction still merge correctly
+    extra = rd.from_arrow(change_stream_batch(N, 2000, seed=7, n_repos=20,
+                                              paths_per_repo=50))
+    lake.apply_epoch(extra, EPOCHS)
+    full = pa.concat_tables(
+        [_events(), change_stream_batch(N, 2000, seed=7, n_repos=20, paths_per_repo=50)]
+    )
+    assert replay_verify(lake, expected_snapshot(full))
+
+
+def test_additive_schema_evolution(tmp_path):
+    # epochs 0-1 without author column; epochs 2-3 carry it (seq >= N/2)
+    per = N // EPOCHS
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=8)
+    for i in range(EPOCHS):
+        author_from = None if i < 2 else N // 2
+        tbl = change_stream_batch(i * per, per, seed=7, n_repos=20, paths_per_repo=50,
+                                  author_from=author_from)
+        lake.apply_epoch(rd.from_arrow(tbl), i)
+    final = lake.read_table()
+    assert "author" in final.column_names
+    # old rows null-backfilled, new rows populated
+    import pyarrow.compute as pc
+
+    old = final.filter(pc.less(final["seq"], N // 2))
+    new = final.filter(pc.greater_equal(final["seq"], N // 2))
+    assert old.num_rows > 0 and new.num_rows > 0
+    assert pc.count(old["author"], mode="only_valid").as_py() == 0
+    assert pc.count(new["author"], mode="only_null").as_py() == 0
+    # and content still matches the independent snapshot
+    assert replay_verify(lake, expected_snapshot(_events(author_from=N // 2)))
+
+
+def test_deletes_drop_rows(tmp_path):
+    t = pa.table(
+        {
+            "repo": ["r", "r", "r"],
+            "path": ["a", "a", "b"],
+            "commit": ["c1", "c2", "c3"],
+            "lang": ["py"] * 3,
+            "content": ["v1", "v2", "bb"],
+            "op": ["upsert", "delete", "upsert"],
+            "seq": [1, 2, 3],
+        }
+    )
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    lake.apply_epoch(rd.from_arrow(t), 0)
+    final = lake.read_table()
+    assert final.num_rows == 1
+    assert final["path"].to_pylist() == ["b"]

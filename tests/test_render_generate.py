@@ -1,0 +1,81 @@
+"""O2 (render_template) + O4 (generate_rows) semantics, README golden cases."""
+
+import pyarrow as pa
+
+from nifi_processors_ray.sources.generate import RowLayout, generate_rows
+from nifi_processors_ray.stages.render import RenderTemplateStage, parse_template
+from nifi_processors_ray.stages.split_fields import split_fields
+
+
+def test_readme_golden_split_then_render():
+    # FIXTURES.md F3: O1 -> O2 chain reproducing README.md:15-66
+    t = pa.table({"content": ["Peterson, Jenny, New York, USA"]})
+    cols = split_fields(t, separator=", ", prefix="column_", width=3)
+    template = (
+        '{"name": "$column_000", "first": "$column_001", '
+        '"city": "$column_002", "country": "$column_003"}'
+    )
+    out = RenderTemplateStage(template, output_col="content")(cols)
+    assert out["content"].to_pylist() == [
+        '{"name": "Peterson", "first": "Jenny", "city": "New York", "country": "USA"}'
+    ]
+    # the "original" edge: upstream columns still present (keep_input_cols)
+    assert "column_000" in out.column_names
+
+
+def test_template_parse_braced_and_missing():
+    assert parse_template("a ${x.y} b $z") == [
+        ("lit", "a "), ("field", "x.y"), ("lit", " b "), ("field", "z")]
+    t = pa.table({"z": ["v"]})
+    out = RenderTemplateStage("[$z|$missing]", output_col="r")(t)
+    assert out["r"].to_pylist() == ["[v|]"]
+
+
+def test_attribute_filter_regex():
+    # MergeTemplate.java:243-257 — only attrs matching the filter are visible
+    t = pa.table({"keep_a": ["1"], "drop_b": ["2"]})
+    out = RenderTemplateStage("$keep_a/$drop_b", attribute_filter="keep_.*",
+                              output_col="r")(t)
+    assert out["r"].to_pylist() == ["1/"]
+
+
+def test_newline_stripped_from_values():
+    t = pa.table({"a": ["x\ny"]})
+    out = RenderTemplateStage("<$a>", output_col="r")(t)
+    assert out["r"].to_pylist() == ["<xy>"]
+
+
+LAYOUT = [
+    {"name": "id", "kind": "sequence"},
+    {"name": "city", "kind": "wordlist", "words": ["Berlin", "Paris", "Rome"]},
+    {"name": "code", "kind": "pattern", "pattern": "[A-Z]{3}-[0-9]{2}"},
+    {"name": "tok", "kind": "random", "length": 6},
+    {"name": "d", "kind": "date", "min_year": 2000, "max_year": 2099},
+]
+
+
+def test_rowlayout_deterministic_and_shaped():
+    a = RowLayout(LAYOUT, seed=9).generate(0, 50)
+    b = RowLayout(LAYOUT, seed=9).generate(0, 50)
+    assert a.equals(b)
+    c = RowLayout(LAYOUT, seed=10).generate(0, 50)
+    assert not a.equals(c)
+    import re
+
+    assert all(re.fullmatch(r"[A-Z]{3}-[0-9]{2}", v) for v in a["code"].to_pylist())
+    assert all(v in {"Berlin", "Paris", "Rome"} for v in a["city"].to_pylist())
+    assert all(re.fullmatch(r"20\d\d-\d\d-\d\d", v) for v in a["d"].to_pylist())
+    # partition independence: [0,50) == [0,20) + [20,50)
+    lo = RowLayout(LAYOUT, seed=9).generate(0, 20)
+    hi = RowLayout(LAYOUT, seed=9).generate(20, 30)
+    assert pa.concat_tables([lo, hi]).equals(a)
+
+
+def test_generate_rows_dataset_and_csv_content():
+    ds = generate_rows(40, LAYOUT, seed=9, num_blocks=4, as_content=True,
+                       separator=";")
+    rows = ds.take_all()
+    assert len(rows) == 40
+    direct = RowLayout(LAYOUT, seed=9)
+    expect = direct.as_csv_rows(direct.generate(0, 40), ";").to_pylist()
+    assert sorted(r["content"] for r in rows) == sorted(expect)
