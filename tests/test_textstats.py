@@ -1,0 +1,70 @@
+import numpy as np
+import pyarrow as pa
+
+from nifi_processors_ray.stages.textstats import (
+    FingerprintStage,
+    LangIdStage,
+    QualityScoreStage,
+    count_tokens,
+)
+
+
+def test_count_tokens():
+    t = pa.table({"text": ["a b  c", "", "  x ", None, "one"]})
+    out = count_tokens(t)
+    assert out["n_tokens"].to_pylist() == [3, 0, 1, None, 1]
+
+
+def test_quality_score_ranges_and_features():
+    t = pa.table({"text": [
+        "The cat sat on the mat and it is a fine day for the cat.",
+        "1234 5678 !!!! ????",
+        "",
+    ]})
+    out = QualityScoreStage()(t)
+    scores = out["quality_score"].to_pylist()
+    assert 0.0 <= min(scores) and max(scores) <= 1.0
+    assert scores[0] > scores[1]  # prose beats digit/punct soup
+    assert out["n_tokens"].to_pylist() == [15, 4, 0]
+    assert out["alpha_ratio"].to_pylist()[1] == 0.0
+
+
+def test_lang_id_heuristic():
+    t = pa.table({"text": [
+        "the cat and the dog went to the market for a day",
+        "der Hund und die Katze sind nicht mit mir",
+        "le chat et les chiens sont pour la maison",
+        "el perro y la casa de los gatos es una historia",
+        "zzz qqq www",
+    ]})
+    out = LangIdStage()(t)
+    assert out["lang_pred"].to_pylist() == ["en", "de", "fr", "es", "other"]
+
+
+def test_fingerprints_deterministic_and_similarity_aware():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "sleepy")  # near-dup
+    c = "completely different content about ray data engines and arrow"
+    t = pa.table({"text": [a, a, b, c, "", None]})
+    out = FingerprintStage()(t)
+    fp = out["fingerprint64"].to_pylist()
+    sh = out["simhash64"].to_pylist()
+    assert fp[0] == fp[1] and sh[0] == sh[1]  # identical content
+    assert fp[0] != fp[2]
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])  # near-dup closer than random
+    assert sh[4] == 0
+
+
+def test_fingerprint_partitioning_invariance():
+    rows = [f"doc number {i} with some shared tokens" for i in range(10)]
+    whole = FingerprintStage()(pa.table({"text": rows}))
+    parts = pa.concat_tables([
+        FingerprintStage()(pa.table({"text": rows[:3]})),
+        FingerprintStage()(pa.table({"text": rows[3:]})),
+    ])
+    assert whole["simhash64"].to_pylist() == parts["simhash64"].to_pylist()
+    assert whole["fingerprint64"].to_pylist() == parts["fingerprint64"].to_pylist()
