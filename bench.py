@@ -122,10 +122,12 @@ def run_once() -> dict:
     ctx.enable_progress_bars = False
 
     ensure_stream()
-    # warm OS page cache (untimed) so we measure compute + shuffle
+    # warm OS page cache on the whole stream (untimed) so we measure
+    # compute + shuffle, not first-touch disk reads
     import ray.data as rd
 
-    rd.read_parquet(os.path.join(STREAM_DIR, "epoch=0")).count()
+    for e in range(EPOCHS):
+        rd.read_parquet(os.path.join(STREAM_DIR, f"epoch={e}")).count()
 
     cdc = bench_cdc()
     queries = {} if HEADLINE_ONLY else bench_queries()
@@ -145,8 +147,14 @@ def run_once() -> dict:
 
 
 def run_scaling():
+    # a larger stream for the two-level comparison so per-epoch fixed costs
+    # (scheduler, shuffle barriers, manifest commits) don't mask compute
+    # scaling — both levels use the SAME input
+    scaling_events = os.environ.get("GRAFT_SCALING_EVENTS", "4000000")
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_CDC_EVENTS=scaling_events,
                    GRAFT_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,

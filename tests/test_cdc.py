@@ -164,3 +164,27 @@ def test_deletes_drop_rows(tmp_path):
     final = lake.read_table()
     assert final.num_rows == 1
     assert final["path"].to_pylist() == ["b"]
+
+
+def test_duplicate_events_across_epochs(tmp_path):
+    # at-least-once delivery: the same event appears in two different
+    # epochs -> the final table must still hold exactly one row per key
+    t = pa.table(
+        {
+            "repo": ["r", "r"],
+            "path": ["a", "b"],
+            "commit": ["c1", "c2"],
+            "lang": ["py", "py"],
+            "content": ["va", "vb"],
+            "op": ["upsert", "upsert"],
+            "seq": [1, 2],
+        }
+    )
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    lake.apply_epoch(rd.from_arrow(t), 0)
+    lake.apply_epoch(rd.from_arrow(t), 1)  # duplicate delivery, new epoch id
+    final = lake.read_table()
+    assert final.num_rows == 2
+    assert sorted(final["path"].to_pylist()) == ["a", "b"]
+    lake.compact()
+    assert lake.read_table().num_rows == 2

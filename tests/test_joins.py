@@ -1,0 +1,34 @@
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from nifi_processors_ray.stages.joins import broadcast_lookup, bucket_join
+
+
+def test_bucket_join_matches_pyarrow():
+    n = 500
+    left = pa.table({"k": pa.array(np.arange(n, dtype=np.int64) % 97),
+                     "lv": pa.array(np.arange(n, dtype=np.int64))})
+    right = pa.table({"rk": pa.array(np.arange(0, 120, dtype=np.int64)),
+                      "rv": pa.array(np.arange(0, 120, dtype=np.int64) * 10)})
+    out = bucket_join(rd.from_arrow(left), rd.from_arrow(right),
+                      left_on="k", right_on="rk", num_buckets=8)
+    got = out.to_pandas().sort_values(["lv"]).reset_index(drop=True)
+    expect = (left.join(right, keys=["k"], right_keys=["rk"], join_type="inner")
+              .to_pandas().sort_values(["lv"]).reset_index(drop=True))
+    assert sorted(got.columns) == sorted(expect.columns)
+    assert len(got) == len(expect) == n  # every k in 0..96 has a match
+    assert (got["lv"].to_numpy() == expect["lv"].to_numpy()).all()
+    got_rv = got.set_index("lv")["rv"]
+    exp_rv = expect.set_index("lv")["rv"]
+    assert (got_rv == exp_rv).all()
+
+
+def test_broadcast_lookup_left_join_semantics():
+    keys = np.array([1, 5, 9], dtype=np.int64)
+    vals = {"name": np.array(["a", "b", "c"], dtype=object)}
+    ref = ray.put((keys, vals))
+    ds = rd.from_arrow(pa.table({"k": pa.array([5, 2, 9, 1], pa.int64())}))
+    out = broadcast_lookup(ds, ref, "k", {"name": "name"}).to_pandas()
+    assert out.sort_values("k")["name"].tolist() == ["a", None, "b", "c"]
