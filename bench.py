@@ -55,11 +55,17 @@ def ensure_stream():
         json.dump({"events": CDC_EVENTS, "epochs": EPOCHS}, f)
 
 
-def bench_cdc() -> dict:
+def bench_cdc(warm: bool = True) -> dict:
     import ray.data as rd
 
     from nifi_processors_ray.state.lake import LakeTable
 
+    if warm:
+        # one untimed full pass: populates worker pools, OS page cache and
+        # the allocator (this host charges seconds of first-touch page
+        # faults to fresh processes, which would otherwise pollute the
+        # measurement)
+        bench_cdc(warm=False)
     root = f"/tmp/bench_lake_{NUM_CPUS}_{time.time_ns()}"
     lake = LakeTable(root, num_partitions=64)
     t0 = time.time()

@@ -723,6 +723,100 @@ def q_multimodal_features(sf_dir: str):
     return frames.select_columns(["media_id", "frame_idx"])
 
 
+def q_reserialize_rows(sf_dir: str):
+    """join_fields: columns -> separator-joined content line (the inverse
+    of split_fields; ExecuteRuleEngine.java:975-992)."""
+    from ..stages.records import join_fields
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return join_fields(batch, ["lang", "source"], separator="|",
+                           output_col="content", keep_inputs=False)
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_RESERIALIZE_ROWS = """
+SELECT doc_id, lang || '|' || source AS content FROM documents
+"""
+
+
+def q_extract_json_field(sf_dir: str):
+    """Vectorized JSON scalar extraction from the events props column."""
+    from ..stages.records import extract_json_field
+
+    events = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = extract_json_field(batch, "props", "k", out_col="k",
+                                 out_type=pa.int64())
+        return out.select(["event_id", "k"])
+
+    return events.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EXTRACT_JSON_FIELD = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+def q_deterministic_sample(sf_dir: str):
+    from ..stages.records import deterministic_sample
+
+    events = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return events.map_batches(
+        lambda b: deterministic_sample(b, "event_id", modulus=20, keep=1),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+SQL_DETERMINISTIC_SAMPLE = """
+SELECT event_id, event_type, value FROM events WHERE event_id % 20 < 1
+"""
+
+
+def q_distinct_langs(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    docs = _read(sf_dir, "documents", columns=["lang"])
+    return _to_table(docs.groupby("lang").aggregate(Count(alias_name="n_docs")))
+
+
+SQL_DISTINCT_LANGS = """
+SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+"""
+
+
+def q_quarantine_route(sf_dir: str):
+    """Malformed-row quarantine routing (F5): synthesize a content line,
+    corrupt a deterministic subset, route by arity."""
+    from ..stages.records import add_arity_route, join_fields
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = join_fields(batch, ["lang", "source"], separator=";",
+                        output_col="content", keep_inputs=True)
+        # corrupt rows where doc_id % 7 == 0: drop the separator
+        bad = pa.array(np.asarray(batch["doc_id"]) % 7 == 0)
+        content = pc.if_else(
+            bad, pc.replace_substring(t["content"], ";", " "), t["content"]
+        )
+        t = t.set_column(t.column_names.index("content"), "content", content)
+        t = add_arity_route(t, "content", ";", 2)
+        return t.select(["doc_id", "route"])
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_QUARANTINE_ROUTE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN 'quarantine' ELSE 'success' END AS route
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -752,6 +846,11 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "multimodal_features": q_multimodal_features,
+    "reserialize_rows": q_reserialize_rows,
+    "extract_json_field": q_extract_json_field,
+    "deterministic_sample": q_deterministic_sample,
+    "distinct_langs": q_distinct_langs,
+    "quarantine_route": q_quarantine_route,
 }
 
 ORACLE_SQL = {
@@ -771,6 +870,11 @@ ORACLE_SQL = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "token_counts": SQL_TOKEN_COUNTS,
     "ann_topk": SQL_ANN_TOPK,
+    "reserialize_rows": SQL_RESERIALIZE_ROWS,
+    "extract_json_field": SQL_EXTRACT_JSON_FIELD,
+    "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
+    "distinct_langs": SQL_DISTINCT_LANGS,
+    "quarantine_route": SQL_QUARANTINE_ROUTE,
     # rows-only (non-SQL-expressible): generate_rows, quality_scores,
     # lang_id, fingerprints, minhash_dedup, simhash_pairs, ann_lsh,
     # multimodal_features

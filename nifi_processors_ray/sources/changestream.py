@@ -86,27 +86,40 @@ def change_stream_batch(
     lang_ids = (path_ids % np.uint64(len(_LANGS))).astype(np.int64)
     is_delete = _rand_uniform(seqs, seed, 3) < delete_frac
 
-    # log-normal token count via Box-Muller on two uniform streams
+    # log-normal token count via Box-Muller on two uniform streams,
+    # clipped so a tail row can't blow up batch memory
     u1 = np.clip(_rand_uniform(seqs, seed, 4), 1e-12, 1.0)
     u2 = _rand_uniform(seqs, seed, 5)
     z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
-    ntok = np.maximum(3, np.exp(np.log(content_tokens_mean) + 0.6 * z)).astype(np.int64)
+    ntok = np.exp(np.log(content_tokens_mean) + 0.6 * z).astype(np.int64)
+    ntok = np.clip(ntok, 3, content_tokens_mean * 16)
 
     c1, c2, c3 = (_rand_u64(seqs, seed, s) for s in (6, 7, 8))
     commits = [f"{a:016x}{b:016x}{c:016x}"[:40] for a, b, c in
                zip(c1.tolist(), c2.tolist(), c3.tolist())]
 
-    # token matrix: base hash + cheap per-column LCG step, then vocab lookup
+    # contents fully vectorized: flat token-id array (base hash + positional
+    # LCG step), vocab gather, then ONE Arrow list-join per batch — no
+    # per-row Python and no (rows x max_tok) matrix
     base = _rand_u64(seqs, seed, 9)
-    max_tok = int(ntok.max())
-    steps = (np.arange(max_tok, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) & _M
-    tok = ((base[:, None] + steps[None, :]) & _M) >> np.uint64(40)
-    tok_ids = (tok % np.uint64(len(_VOCAB))).astype(np.int64)
-    vocab = _VOCAB
-    contents = [
-        " ".join(vocab[row[:k]]) + f" seq{s}"
-        for row, k, s in zip(tok_ids, ntok.tolist(), seqs.tolist())
-    ]
+    total = int(ntok.sum())
+    offsets = np.zeros(count + 1, dtype=np.int64)
+    np.cumsum(ntok, out=offsets[1:])
+    pos = np.arange(total, dtype=np.uint64) - np.repeat(
+        offsets[:-1], ntok
+    ).astype(np.uint64)
+    flat_base = np.repeat(base, ntok)
+    flat = ((flat_base + pos * np.uint64(0x9E3779B97F4A7C15)) & _M) >> np.uint64(40)
+    flat_ids = (flat % np.uint64(len(_VOCAB))).astype(np.int64)
+    flat_words = pa.array(_VOCAB[flat_ids], pa.string())
+    if isinstance(flat_words, pa.ChunkedArray):
+        flat_words = flat_words.combine_chunks()
+    body = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat_words),
+        " ",
+    )
+    suffix = pa.array(np.char.add("seq", seqs.astype("U20")).tolist(), pa.string())
+    contents = pc.binary_join_element_wise(body, suffix, " ")
 
     repos = np.char.add(
         np.char.add("org", (repo_ids % 7).astype("U1")),
@@ -124,7 +137,7 @@ def change_stream_batch(
             "path": pa.array(paths, pa.string()),
             "commit": pa.array(commits, pa.string()),
             "lang": pa.array(langs.tolist(), pa.string()),
-            "content": pa.array(contents, pa.string()),
+            "content": contents,
             "op": pa.array(np.where(is_delete, "delete", "upsert").tolist(), pa.string()),
             "seq": pa.array(seqs),
         }
