@@ -817,6 +817,88 @@ FROM documents
 """
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Candidate-pair exact Jaccard verification: sampled doc pairs
+    (doc_id, doc_id+12), partner text attached via broadcast lookup (small
+    side shipped once with ray.put — no shuffle), then the vectorized
+    word-shingle Jaccard kernel. k=1 so a SQL oracle mirrors it exactly;
+    the MinHash/SimHash paths use the same kernel at k=3."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.dedup import pairwise_shingle_jaccard
+    from ..stages.joins import broadcast_lookup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    a = docs.map_batches(
+        lambda b: b.filter(pa.array(np.asarray(b["doc_id"]) % 25 == 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    btbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    btbl = btbl.filter(pa.array(np.asarray(btbl["doc_id"]) % 25 == 12))
+    keys = np.asarray(btbl["doc_id"]) - 12  # partner key = id_a
+    order = np.argsort(keys)
+    ref = ray.put((keys[order],
+                   {"text_b": np.asarray(btbl["text"], dtype=object)[order],
+                    "id_b": np.asarray(btbl["doc_id"])[order]}))
+    paired = broadcast_lookup(a, ref, "doc_id",
+                              {"text_b": "text_b", "id_b": "id_b"})
+
+    def f(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["id_b"]))
+        out = pairwise_shingle_jaccard(batch, "text", "text_b", k=1)
+        out = _round_cols(out, {"jaccard": 6})
+        out = out.rename_columns(
+            ["id_a" if c == "doc_id" else c for c in out.column_names])
+        return out.select(["id_a", "id_b", "jaccard"])
+
+    return paired.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_NGRAM_JACCARD = """
+WITH a AS (SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS toks
+           FROM documents WHERE doc_id % 25 = 0),
+     b AS (SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS toks
+           FROM documents WHERE doc_id % 25 = 12)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CASE WHEN len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks)) = 0 THEN 1.0
+             ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / (len(a.toks) + len(b.toks)
+                     - len(list_intersect(a.toks, b.toks))) END, 6) AS jaccard
+FROM a JOIN b ON b.doc_id = a.doc_id + 12
+"""
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (LSH bucket + exact cosine
+    verify). The base table has no near-dups (max pairwise cosine ~0.51 at
+    sf0.01), so the query unions in deterministic perturbed copies of the
+    first 10 vectors (id + 10_000_000) — the operator must recover exactly
+    those planted pairs. Approximate by design (bucket recall < 1) ->
+    rows-only check."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import embedding_neardup
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    base = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    sub = base.filter(pc.less(base["vec_id"], 10))
+    m = np.array(sub["embedding"].to_pylist(), dtype=np.float32)
+    rng = np.random.Generator(np.random.PCG64(7))
+    m = m + 0.01 * rng.standard_normal(m.shape).astype(np.float32)
+    dup = pa.table({
+        "vec_id": pc.add(sub["vec_id"], pa.scalar(10_000_000, pa.int64())),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+    })
+    both = emb.union(_rd().from_arrow(dup))
+    out = embedding_neardup(both, threshold=0.95, n_bits=6)
+    return _round_cols(out, {"cosine": 6})
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -851,6 +933,8 @@ QUERIES = {
     "deterministic_sample": q_deterministic_sample,
     "distinct_langs": q_distinct_langs,
     "quarantine_route": q_quarantine_route,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
 }
 
 ORACLE_SQL = {
@@ -875,7 +959,8 @@ ORACLE_SQL = {
     "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
     "distinct_langs": SQL_DISTINCT_LANGS,
     "quarantine_route": SQL_QUARANTINE_ROUTE,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
     # rows-only (non-SQL-expressible): generate_rows, quality_scores,
     # lang_id, fingerprints, minhash_dedup, simhash_pairs, ann_lsh,
-    # multimodal_features
+    # multimodal_features, embedding_neardup
 }

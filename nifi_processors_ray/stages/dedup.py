@@ -152,6 +152,46 @@ class MinHashStage:
         )
 
 
+def _distinct_per_row(rows: np.ndarray, hashes: np.ndarray, n: int) -> np.ndarray:
+    """Count distinct hashes per row id (vectorized lexsort + adjacent-diff)."""
+    if len(rows) == 0:
+        return np.zeros(n, dtype=np.int64)
+    order = np.lexsort((hashes, rows))
+    r, h = rows[order], hashes[order]
+    new = np.ones(len(r), dtype=bool)
+    new[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
+    return np.bincount(r[new], minlength=n).astype(np.int64)
+
+
+def pairwise_shingle_jaccard(
+    batch: pa.Table, text_a: str, text_b: str, *, k: int = 1,
+    out_col: str = "jaccard",
+) -> pa.Table:
+    """Exact word-k-shingle Jaccard per row between two text columns —
+    fully vectorized (token hashing + lexsort distinct counts), no Python
+    loop over rows. The verification stage for candidate pairs produced by
+    MinHash/SimHash banding; with ``k=1`` this is distinct-token-set
+    Jaccard, which a SQL oracle can mirror exactly."""
+    ta = batch[text_a]
+    tb = batch[text_b]
+    if isinstance(ta, pa.ChunkedArray):
+        ta = ta.combine_chunks()
+    if isinstance(tb, pa.ChunkedArray):
+        tb = tb.combine_chunks()
+    n = batch.num_rows
+    ha, ca = _shingle_hashes(ta, k)
+    hb, cb = _shingle_hashes(tb, k)
+    ra = np.repeat(np.arange(n), ca)
+    rb = np.repeat(np.arange(n), cb)
+    na = _distinct_per_row(ra, ha, n)
+    nb = _distinct_per_row(rb, hb, n)
+    nu = _distinct_per_row(np.concatenate([ra, rb]),
+                           np.concatenate([ha, hb]), n)
+    inter = na + nb - nu
+    jac = np.where(nu == 0, 1.0, inter / np.maximum(nu, 1))
+    return batch.append_column(out_col, pa.array(jac, pa.float64()))
+
+
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     """Exact word-k-shingle Jaccard similarity (verification kernel)."""
     ta, tb = a.split(), b.split()

@@ -119,3 +119,19 @@ def test_embedding_neardup():
     out = embedding_neardup(ds, threshold=0.999, n_bits=5)
     pairs = {(a, b) for a, b in zip(out["a"].to_pylist(), out["b"].to_pylist())}
     assert (3, 7) in pairs
+
+
+def test_pairwise_shingle_jaccard_matches_scalar_kernel():
+    import pyarrow as pa
+
+    from nifi_processors_ray.stages.dedup import (ngram_jaccard,
+                                                  pairwise_shingle_jaccard)
+
+    a = ["the quick brown fox", "alpha beta gamma", "", "x x x y"]
+    b = ["the quick brown cat", "alpha beta gamma", "", "x y"]
+    t = pa.table({"ta": a, "tb": b})
+    for k in (1, 3):
+        out = pairwise_shingle_jaccard(t, "ta", "tb", k=k)
+        got = out["jaccard"].to_pylist()
+        want = [ngram_jaccard(x, y, k) for x, y in zip(a, b)]
+        assert all(abs(g - w) < 1e-12 for g, w in zip(got, want)), (k, got, want)
