@@ -899,6 +899,82 @@ def q_embedding_neardup(sf_dir: str):
     return _round_cols(out, {"cosine": 6})
 
 
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min gap) -> one row per session."""
+    from ..stages.windows import session_stats
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return session_stats(events, key_col="user_id", ts_col="ts",
+                         gap_seconds=1800)
+
+
+SQL_USER_SESSIONS = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM d)
+SELECT user_id, session_idx, MIN(ts) AS session_start,
+       MAX(ts) AS session_end, COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_asof_prior_view(sf_dir: str):
+    """Point-in-time (as-of) join: attach the value of each user's latest
+    view event at-or-before every event's timestamp."""
+    from ..stages.windows import asof_join
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "ts", "event_type", "value"])
+    left = events.map_batches(
+        lambda b: b.select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = events.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "view"))
+                   .select(["user_id", "ts", "value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = asof_join(left, right, on="ts", by="user_id", value_cols=["value"])
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["prior_view_value" if c == "value" else c for c in b.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ASOF_PRIOR_VIEW = """
+SELECT l.event_id, l.user_id, l.ts, r.value AS prior_view_value
+FROM events l ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_top3_orders_per_priority(sf_dir: str):
+    """topk_per_group: per-batch top-k combiner -> tiny groupby merge
+    (the shuffle ships <= k rows per (group, batch))."""
+    from ..stages.windows import topk_per_group
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return topk_per_group(orders, group_col="o_orderpriority",
+                          order_col="o_totalprice", k=3,
+                          tiebreak_col="o_orderkey")
+
+
+SQL_TOP3_ORDERS_PER_PRIORITY = """
+SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -935,6 +1011,9 @@ QUERIES = {
     "quarantine_route": q_quarantine_route,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
+    "user_sessions": q_user_sessions,
+    "asof_prior_view": q_asof_prior_view,
+    "top3_orders_per_priority": q_top3_orders_per_priority,
 }
 
 ORACLE_SQL = {
@@ -960,6 +1039,9 @@ ORACLE_SQL = {
     "distinct_langs": SQL_DISTINCT_LANGS,
     "quarantine_route": SQL_QUARANTINE_ROUTE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "user_sessions": SQL_USER_SESSIONS,
+    "asof_prior_view": SQL_ASOF_PRIOR_VIEW,
+    "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
     # rows-only (non-SQL-expressible): generate_rows, quality_scores,
     # lang_id, fingerprints, minhash_dedup, simhash_pairs, ann_lsh,
     # multimodal_features, embedding_neardup

@@ -110,10 +110,9 @@ def test_compaction_preserves_state_and_bounds_files(tmp_path):
     m = lake.compact()
     assert sorted(m["epochs"]) == list(range(EPOCHS))
     assert replay_verify(lake, before)
-    # folded deltas are GC'd
-    for pid in range(8):
-        d = tmp_path / "lake" / "deltas" / f"pid={pid}"
-        assert not d.exists() or not list(d.iterdir())
+    # folded delta fragments are GC'd (including any orphans)
+    d = tmp_path / "lake" / "deltas"
+    assert not d.exists() or not list(d.iterdir())
     # further epochs after compaction still merge correctly
     extra = rd.from_arrow(change_stream_batch(N, 2000, seed=7, n_repos=20,
                                               paths_per_repo=50))
