@@ -3,7 +3,7 @@
 Composition of the engine's pieces (north star of BASELINE.json):
 
     change_stream / read_parquet           (binlog-style tail, epoch slices)
-      -> LakeTable.apply_epoch             (combiner + hash shuffle + owners)
+      -> LakeTable.apply_epoch             (combiner + scatter fragment write)
       -> LakeTable.compact / read          (LWW merge-on-read, tombstone drop)
       -> snapshot_hashes                   (per-row sha256(content) invariant)
 
@@ -26,21 +26,35 @@ def ingest_stream(
     *,
     start_epoch: int = 0,
     batch_size: int | None = None,
+    max_in_flight: int = 1,
 ) -> list[dict]:
     """Apply a sequence of epoch Datasets to the lake, resuming past any
     already-committed epoch (checkpoint-resume contract). ``epochs`` is a
     list of ``ray.data.Dataset`` or zero-arg factories returning one (so a
-    resumed run doesn't even build the skipped epoch's pipeline)."""
-    manifests = []
+    resumed run doesn't even build the skipped epoch's pipeline).
+
+    ``max_in_flight > 1`` applies that many epochs CONCURRENTLY (driver
+    threads, each owning its own Dataset pipeline). This is correct because
+    epochs commit independently and LWW-by-``seq`` makes the final state
+    replay-order-independent; it removes the per-epoch pipeline barrier,
+    which otherwise caps cluster utilization when a single epoch has fewer
+    tasks than cores."""
     committed = set(lake.committed_epochs())
-    for i, e in enumerate(epochs):
+
+    def apply_one(i_e):
+        i, e = i_e
         eid = start_epoch + i
         if eid in committed:
-            manifests.append(lake.apply_epoch(None, eid))  # returns stored manifest
-            continue
+            return lake.apply_epoch(None, eid)  # returns stored manifest
         ds = e() if callable(e) else e
-        manifests.append(lake.apply_epoch(ds, eid, batch_size=batch_size))
-    return manifests
+        return lake.apply_epoch(ds, eid, batch_size=batch_size)
+
+    if max_in_flight <= 1:
+        return [apply_one(ie) for ie in enumerate(epochs)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
+        return list(pool.map(apply_one, enumerate(epochs)))
 
 
 def snapshot_hashes(lake: LakeTable):

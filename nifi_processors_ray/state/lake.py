@@ -407,6 +407,28 @@ class LakeTable:
         _atomic_write_json(manifest, mpath)
         return manifest
 
+    # -- lineage / metrics ---------------------------------------------------
+
+    def lineage(self) -> pa.Table:
+        """Per-(epoch, partition) lineage counters from the commit log:
+        rows_delta (rows landed after LWW combine) and deletes. The
+        observability surface the north rule asks for — derived purely from
+        manifests, so it reflects exactly what was committed."""
+        epochs, pids, rows_delta, deletes = [], [], [], []
+        for e in self.committed_epochs():
+            m = self._read_manifest(f"epoch-{e}.json")
+            for pid_s, c in m.get("partitions", {}).items():
+                epochs.append(e)
+                pids.append(int(pid_s))
+                rows_delta.append(int(c.get("rows_delta", 0)))
+                deletes.append(int(c.get("deletes", 0)))
+        return pa.table({
+            "epoch": pa.array(epochs, pa.int64()),
+            "pid": pa.array(pids, pa.int64()),
+            "rows_delta": pa.array(rows_delta, pa.int64()),
+            "deletes": pa.array(deletes, pa.int64()),
+        })
+
     # -- read / compact -----------------------------------------------------
 
     def _fragment_index(self, pending: list[int]) -> dict[int, list[tuple[str, int]]]:

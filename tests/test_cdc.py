@@ -187,3 +187,27 @@ def test_duplicate_events_across_epochs(tmp_path):
     assert sorted(final["path"].to_pylist()) == ["a", "b"]
     lake.compact()
     assert lake.read_table().num_rows == 2
+
+
+def test_concurrent_epoch_ingest_matches(tmp_path):
+    # epochs applied concurrently (LWW makes order irrelevant) must yield
+    # the same final state as sequential ingest
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=8)
+    ingest_stream(lake, _epoch_datasets(), max_in_flight=4)
+    assert sorted(lake.committed_epochs()) == list(range(EPOCHS))
+    assert replay_verify(lake, expected_snapshot(_events()))
+
+
+def test_lineage_counters(tmp_path):
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=8)
+    ingest_stream(lake, _epoch_datasets())
+    lin = lake.lineage()
+    assert sorted(set(lin["epoch"].to_pylist())) == list(range(EPOCHS))
+    # committed deltas sum to the manifest totals
+    import json
+    total = 0
+    for e in range(EPOCHS):
+        with open(tmp_path / "lake" / "_manifests" / f"epoch-{e}.json") as f:
+            total += json.load(f)["rows_delta"]
+    import pyarrow.compute as pc
+    assert pc.sum(lin["rows_delta"]).as_py() == total
