@@ -66,12 +66,19 @@ def bench_cdc(warm: bool = True) -> dict:
         # faults to fresh processes, which would otherwise pollute the
         # measurement)
         bench_cdc(warm=False)
+    from nifi_processors_ray.pipelines.cdc import ingest_stream
+
     root = f"/tmp/bench_lake_{NUM_CPUS}_{time.time_ns()}"
     lake = LakeTable(root, num_partitions=64)
     t0 = time.time()
-    for e in range(EPOCHS):
-        ds = rd.read_parquet(os.path.join(STREAM_DIR, f"epoch={e}"))
-        lake.apply_epoch(ds, e)
+    # two epochs in flight: overlaps one epoch's tail tasks with the next
+    # epoch's read — correct because LWW makes replay order-independent
+    ingest_stream(
+        lake,
+        [(lambda e=e: rd.read_parquet(os.path.join(STREAM_DIR, f"epoch={e}")))
+         for e in range(EPOCHS)],
+        max_in_flight=2,
+    )
     apply_sec = time.time() - t0
     t1 = time.time()
     lake.compact()
@@ -154,28 +161,39 @@ def run_once() -> dict:
 
 def run_scaling():
     # a larger stream for the two-level comparison so per-epoch fixed costs
-    # (scheduler, shuffle barriers, manifest commits) don't mask compute
-    # scaling — both levels use the SAME input
-    scaling_events = os.environ.get("GRAFT_SCALING_EVENTS", "4000000")
+    # (scheduler startup, manifest commits) don't mask compute scaling —
+    # both levels use the SAME input. The host carries background load, so
+    # each level runs GRAFT_SCALING_REPS times (fresh process each, after
+    # an in-process warm pass) and the BEST wall time represents the level;
+    # all raw times are reported.
+    scaling_events = os.environ.get("GRAFT_SCALING_EVENTS", "16000000")
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
 
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int) -> list[dict]:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_CDC_EVENTS=scaling_events,
                    GRAFT_BENCH_HEADLINE_ONLY="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        outs = []
+        for _ in range(reps):
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 check=True).stdout
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        return outs
 
     lo, hi = run(8), run(32)
-    t_lo, t_hi = lo["events_per_sec"], hi["events_per_sec"]
+    best_lo = min(lo, key=lambda r: r["value"])
+    best_hi = min(hi, key=lambda r: r["value"])
+    t_lo, t_hi = best_lo["events_per_sec"], best_hi["events_per_sec"]
     eff = (t_hi / t_lo) / (32 / 8)
     print(json.dumps({
-        "events": lo["events"],
+        "events": best_lo["events"],
         "events_per_sec_8": t_lo,
         "events_per_sec_32": t_hi,
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
+        "sec_8": best_lo["value"],
+        "sec_32": best_hi["value"],
+        "sec_8_all": [r["value"] for r in lo],
+        "sec_32_all": [r["value"] for r in hi],
         "scaling_efficiency": round(eff, 3),
     }))
 

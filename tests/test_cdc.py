@@ -211,3 +211,23 @@ def test_lineage_counters(tmp_path):
             total += json.load(f)["rows_delta"]
     import pyarrow.compute as pc
     assert pc.sum(lin["rows_delta"]).as_py() == total
+
+
+def test_orphan_fragment_invisible_and_gcd(tmp_path):
+    # a fragment written by a crashed/retried task (present on disk, absent
+    # from every manifest) must never be read, and compaction removes it
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=8)
+    ingest_stream(lake, _epoch_datasets())
+    before = lake.read_table()
+    orphan = pa.table({
+        "repo": ["zzz"], "path": ["zzz"], "commit": ["x"], "lang": ["py"],
+        "content": ["POISON"], "op": ["upsert"], "seq": [10**9],
+    })
+    import pyarrow.parquet as pq
+    pq.write_table(orphan, str(tmp_path / "lake" / "deltas" /
+                               "epoch-0-deadbeefdeadbeef.parquet"))
+    after = lake.read_table()
+    assert after.equals(before)  # orphan invisible
+    lake.compact()
+    assert not list((tmp_path / "lake" / "deltas").iterdir())  # orphan GC'd
+    assert lake.read_table().sort_by("seq").equals(before.sort_by("seq"))
