@@ -27,7 +27,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CDC_EVENTS = int(os.environ.get("GRAFT_CDC_EVENTS", "1000000"))
+CDC_EVENTS = int(os.environ.get("GRAFT_CDC_EVENTS", "4000000"))
 EPOCHS = 4
 STREAM_DIR = f"/tmp/bench_stream_{CDC_EVENTS}"
 HEADLINE_ONLY = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"

@@ -39,14 +39,24 @@ def ingest_stream(
     replay-order-independent; it removes the per-epoch pipeline barrier,
     which otherwise caps cluster utilization when a single epoch has fewer
     tasks than cores."""
+    import threading
+
     committed = set(lake.committed_epochs())
+    # Dataset CONSTRUCTION must be serialized across threads: Ray's path
+    # resolution lazily imports fsspec.implementations.http per read_* call
+    # (and with aiohttp absent that import legitimately fails every time);
+    # two threads racing it can observe a partially-imported module and die
+    # with "cannot import name HTTPFileSystem". Construction is cheap —
+    # only execution (inside apply_epoch) needs to overlap.
+    build_lock = threading.Lock()
 
     def apply_one(i_e):
         i, e = i_e
         eid = start_epoch + i
         if eid in committed:
             return lake.apply_epoch(None, eid)  # returns stored manifest
-        ds = e() if callable(e) else e
+        with build_lock:
+            ds = e() if callable(e) else e
         return lake.apply_epoch(ds, eid, batch_size=batch_size)
 
     if max_in_flight <= 1:

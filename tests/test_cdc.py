@@ -231,3 +231,25 @@ def test_orphan_fragment_invisible_and_gcd(tmp_path):
     lake.compact()
     assert not list((tmp_path / "lake" / "deltas").iterdir())  # orphan GC'd
     assert lake.read_table().sort_by("seq").equals(before.sort_by("seq"))
+
+
+def test_concurrent_ingest_with_read_factories(tmp_path):
+    # factories that construct read_parquet datasets from pool threads
+    # (construction is lock-serialized inside ingest_stream; execution
+    # overlaps) — regression for the fsspec lazy-import race
+    per = N // EPOCHS
+    import pyarrow.parquet as pq
+    for i in range(EPOCHS):
+        d = tmp_path / "stream" / f"epoch={i}"
+        d.mkdir(parents=True)
+        pq.write_table(change_stream_batch(i * per, per, seed=7, n_repos=20,
+                                           paths_per_repo=50),
+                       str(d / "part.parquet"))
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=8)
+    ingest_stream(
+        lake,
+        [(lambda i=i: rd.read_parquet(str(tmp_path / "stream" / f"epoch={i}")))
+         for i in range(EPOCHS)],
+        max_in_flight=4,
+    )
+    assert replay_verify(lake, expected_snapshot(_events()))
