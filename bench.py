@@ -44,13 +44,21 @@ def ensure_stream():
     marker = os.path.join(STREAM_DIR, "_complete.json")
     if os.path.exists(marker):
         return
-    shutil.rmtree(STREAM_DIR, ignore_errors=True)
     per = CDC_EVENTS // EPOCHS
     for e in range(EPOCHS):
+        # per-epoch resumability: a killed generation run skips finished
+        # epochs on the next attempt (deterministic content, so no mixing)
+        edir = os.path.join(STREAM_DIR, f"epoch={e}")
+        emark = os.path.join(STREAM_DIR, f"_epoch{e}.done")
+        if os.path.exists(emark):
+            continue
+        shutil.rmtree(edir, ignore_errors=True)
         ds = change_stream(per, start=e * per, num_blocks=64, seed=42,
                            n_repos=500, paths_per_repo=2000,
                            content_tokens_mean=60)
-        ds.write_parquet(os.path.join(STREAM_DIR, f"epoch={e}"))
+        ds.write_parquet(edir)
+        with open(emark, "w") as f:
+            f.write("done")
     with open(marker, "w") as f:
         json.dump({"events": CDC_EVENTS, "epochs": EPOCHS}, f)
 

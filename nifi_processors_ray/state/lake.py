@@ -167,16 +167,30 @@ class _FragmentWriter:
     num_partitions: int
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        red = latest_by_key(batch, self.key_cols, self.seq_col)
-        pid = (hash64_columns(red, self.key_cols)
-               % np.uint64(self.num_partitions)).astype(np.int64)
-        red = red.append_column(PID_COL, pa.array(pid))
-        sort_keys = ([(PID_COL, "ascending")]
+        # ONE sort does both jobs: primary keys (pid, key-hash) are u64s so
+        # string comparisons happen only on hash ties; equal keys land
+        # adjacent, so the LWW reduce is the same first-row-per-key mask
+        # latest_by_key uses — but without a second sort+take of the (wide,
+        # content-heavy) batch.
+        h = hash64_columns(batch, self.key_cols)
+        pid_all = (h % np.uint64(self.num_partitions)).astype(np.int64)
+        t = batch.append_column(PID_COL, pa.array(pid_all))
+        t = t.append_column("_h", pa.array(h.astype(np.int64)))
+        sort_keys = ([(PID_COL, "ascending"), ("_h", "ascending")]
                      + [(k, "ascending") for k in self.key_cols]
                      + [(self.seq_col, "descending")])
-        red = red.take(pc.sort_indices(red, sort_keys=sort_keys))
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        n = t.num_rows
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[0] = True
+            for k in self.key_cols:
+                arr = t[k].combine_chunks()
+                neq = pc.invert(pc.equal(arr.slice(1), arr.slice(0, n - 1)))
+                first[1:] |= np.asarray(neq.fill_null(True))
+        red = t.filter(pa.array(first))
         pids = np.asarray(red[PID_COL])
-        red = red.drop_columns([PID_COL])
+        red = red.drop_columns([PID_COL, "_h"])
         is_del = None
         if self.op_col and self.op_col in red.column_names:
             is_del = np.asarray(pc.equal(red[self.op_col], "delete").combine_chunks()
@@ -190,7 +204,10 @@ class _FragmentWriter:
         tmp = path + ".tmp"
         out_pid, out_rg, out_rows, out_del = [], [], [], []
         if len(pids):
-            with pq.ParquetWriter(tmp, red.schema, compression="zstd") as w:
+            # snappy for delta fragments: they live only until compaction,
+            # and snappy writes ~1.7x faster (and reads faster) than zstd;
+            # the long-lived base stays zstd (see compact/_atomic_write)
+            with pq.ParquetWriter(tmp, red.schema, compression="snappy") as w:
                 for i, (s, e) in enumerate(zip(starts, ends)):
                     w.write_table(red.slice(s, e - s), row_group_size=int(e - s))
                     out_pid.append(int(pids[s]))
