@@ -253,3 +253,31 @@ def test_concurrent_ingest_with_read_factories(tmp_path):
         max_in_flight=4,
     )
     assert replay_verify(lake, expected_snapshot(_events()))
+
+
+def test_hot_partition_salted_split(tmp_path):
+    # skew mitigation (north rule): a partition whose resolved state exceeds
+    # salt_threshold is split at compaction into bounded pid=<p>-s<k> files
+    # by hash of the last key column; state is unchanged and further merges
+    # (which glob both plain and salted files) still resolve correctly
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=2,
+                     salt_threshold=150)
+    ingest_stream(lake, _epoch_datasets())
+    before = expected_snapshot(_events())
+    assert replay_verify(lake, before)
+    lake.compact()
+    base = tmp_path / "lake" / "base" / "v=0"
+    salted = [f.name for f in base.iterdir() if "-s" in f.name]
+    assert salted, "expected salted sub-files for oversized partitions"
+    import pyarrow.parquet as pq
+    assert all(pq.read_metadata(base / f).num_rows <= 2 * 150 for f in salted)
+    assert replay_verify(lake, before)
+    # post-compaction epoch merges against the salted base
+    extra = rd.from_arrow(change_stream_batch(N, 1000, seed=7, n_repos=20,
+                                              paths_per_repo=50))
+    lake.apply_epoch(extra, EPOCHS)
+    full = pa.concat_tables(
+        [_events(), change_stream_batch(N, 1000, seed=7, n_repos=20,
+                                        paths_per_repo=50)]
+    )
+    assert replay_verify(lake, expected_snapshot(full))
