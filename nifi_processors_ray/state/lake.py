@@ -167,30 +167,43 @@ class _FragmentWriter:
     num_partitions: int
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # ONE sort does both jobs: primary keys (pid, key-hash) are u64s so
-        # string comparisons happen only on hash ties; equal keys land
-        # adjacent, so the LWW reduce is the same first-row-per-key mask
-        # latest_by_key uses — but without a second sort+take of the (wide,
-        # content-heavy) batch.
+        # Narrow-first plan: the batch is content-heavy, so the wide table is
+        # copied exactly ONCE — sort order AND the LWW survivor mask are both
+        # computed on u64 arrays (numpy lexsort on (pid, key-hash, -seq)),
+        # the indices are composed, and a single ``take`` gathers only the
+        # surviving rows already grouped by pid. (The previous full
+        # sort-take + filter plan copied the wide table twice; on this
+        # host the extra pass was the memory-bandwidth scaling limiter.)
+        n = batch.num_rows
         h = hash64_columns(batch, self.key_cols)
         pid_all = (h % np.uint64(self.num_partitions)).astype(np.int64)
-        t = batch.append_column(PID_COL, pa.array(pid_all))
-        t = t.append_column("_h", pa.array(h.astype(np.int64)))
-        sort_keys = ([(PID_COL, "ascending"), ("_h", "ascending")]
-                     + [(k, "ascending") for k in self.key_cols]
-                     + [(self.seq_col, "descending")])
-        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
-        n = t.num_rows
+        seq = np.asarray(batch[self.seq_col])
+        idx = np.lexsort((-seq, h, pid_all)) if n else np.empty(0, np.int64)
+        hs = h[idx]
         first = np.zeros(n, dtype=bool)
         if n:
             first[0] = True
-            for k in self.key_cols:
-                arr = t[k].combine_chunks()
-                neq = pc.invert(pc.equal(arr.slice(1), arr.slice(0, n - 1)))
-                first[1:] |= np.asarray(neq.fill_null(True))
-        red = t.filter(pa.array(first))
-        pids = np.asarray(red[PID_COL])
-        red = red.drop_columns([PID_COL, "_h"])
+            first[1:] = hs[1:] != hs[:-1]
+            ties = np.flatnonzero(~first)
+            if len(ties):
+                # hash-tied adjacent rows: same key (duplicate seq — drop) or
+                # a 64-bit collision of two distinct keys (must keep both).
+                # Compare the REAL key columns, but only for tied rows.
+                cur = pa.Table.from_pydict(
+                    {k: pc.take(batch[k], pa.array(idx[ties]))
+                     for k in self.key_cols})
+                prev = pa.Table.from_pydict(
+                    {k: pc.take(batch[k], pa.array(idx[ties - 1]))
+                     for k in self.key_cols})
+                differs = np.zeros(len(ties), dtype=bool)
+                for k in self.key_cols:
+                    neq = pc.invert(pc.equal(cur[k].combine_chunks(),
+                                             prev[k].combine_chunks()))
+                    differs |= np.asarray(neq.fill_null(True))
+                first[ties[differs]] = True
+        keep = idx[first]
+        red = batch.take(pa.array(keep))
+        pids = pid_all[keep]
         is_del = None
         if self.op_col and self.op_col in red.column_names:
             is_del = np.asarray(pc.equal(red[self.op_col], "delete").combine_chunks()
