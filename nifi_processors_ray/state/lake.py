@@ -102,15 +102,19 @@ def latest_by_key(table: pa.Table, key_cols: list[str], seq_col: str) -> pa.Tabl
     n = table.num_rows
     if n <= 1:
         return table
+    # narrow-first: order + survivor mask come from the (small) key/seq
+    # columns; the wide, content-heavy table is copied exactly once, taking
+    # only the surviving rows (vs sort-take of everything + filter)
     sort_keys = [(k, "ascending") for k in key_cols] + [(seq_col, "descending")]
-    t = table.take(pc.sort_indices(table, sort_keys=sort_keys))
+    narrow = table.select(list(key_cols) + [seq_col])
+    idx = pc.sort_indices(narrow, sort_keys=sort_keys)
     first = np.zeros(n, dtype=bool)
     first[0] = True
     for k in key_cols:
-        arr = t[k].combine_chunks()
+        arr = pc.take(narrow[k], idx).combine_chunks()
         neq = pc.invert(pc.equal(arr.slice(1), arr.slice(0, n - 1)))
         first[1:] |= np.asarray(neq.fill_null(True))
-    return t.filter(pa.array(first))
+    return table.take(pa.array(np.asarray(idx)[first]))
 
 
 def _atomic_write_parquet(table: pa.Table, final_path: str) -> int:
