@@ -85,7 +85,7 @@ def bench_cdc(warm: bool = True) -> dict:
         lake,
         [(lambda e=e: rd.read_parquet(os.path.join(STREAM_DIR, f"epoch={e}")))
          for e in range(EPOCHS)],
-        max_in_flight=2,
+        max_in_flight=int(os.environ.get("GRAFT_MAX_IN_FLIGHT", "2")),
     )
     apply_sec = time.time() - t0
     t1 = time.time()
@@ -167,6 +167,37 @@ def run_once() -> dict:
     return result
 
 
+def _host_cpu_ceiling(lo_cpus: int, hi_cpus: int, reps: int = 3) -> dict:
+    """Measure what THIS host can deliver for embarrassingly parallel,
+    pure-CPU work (sha256 loops, no shared data) at the same two process
+    counts. Virtualized hosts under co-tenant load / steal clock well below
+    ideal even with zero framework overhead; reporting this ceiling
+    alongside the engine's measured efficiency separates the machine's
+    limit from the engine's."""
+    import multiprocessing as mp
+
+    def measure(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            t = time.time()
+            p.map(_cpu_work, [6000] * procs * 4)
+            return procs * 4 * 6000 / (time.time() - t)
+
+    lo = max(measure(lo_cpus) for _ in range(reps))
+    hi = max(measure(hi_cpus) for _ in range(reps))
+    return {"units_per_sec_lo": round(lo, 1), "units_per_sec_hi": round(hi, 1),
+            "efficiency": round((hi / lo) / (hi_cpus / lo_cpus), 3)}
+
+
+def _cpu_work(n: int) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    b = b"x" * 8192
+    for _ in range(n):
+        h.update(b)
+    return h.hexdigest()
+
+
 def run_scaling():
     # a larger stream for the two-level comparison so per-epoch fixed costs
     # (scheduler startup, manifest commits) don't mask compute scaling —
@@ -175,7 +206,9 @@ def run_scaling():
     # an in-process warm pass) and the BEST wall time represents the level;
     # all raw times are reported.
     scaling_events = os.environ.get("GRAFT_SCALING_EVENTS", "16000000")
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    lo_cpus, hi_cpus = (int(c) for c in
+                        os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
 
     def run(ncpu: int) -> list[dict]:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -189,20 +222,24 @@ def run_scaling():
             outs.append(json.loads(out.strip().splitlines()[-1]))
         return outs
 
-    lo, hi = run(8), run(32)
+    lo, hi = run(lo_cpus), run(hi_cpus)
     best_lo = min(lo, key=lambda r: r["value"])
     best_hi = min(hi, key=lambda r: r["value"])
     t_lo, t_hi = best_lo["events_per_sec"], best_hi["events_per_sec"]
-    eff = (t_hi / t_lo) / (32 / 8)
+    eff = (t_hi / t_lo) / (hi_cpus / lo_cpus)
+    ceiling = _host_cpu_ceiling(lo_cpus, hi_cpus)
     print(json.dumps({
         "events": best_lo["events"],
-        "events_per_sec_8": t_lo,
-        "events_per_sec_32": t_hi,
-        "sec_8": best_lo["value"],
-        "sec_32": best_hi["value"],
-        "sec_8_all": [r["value"] for r in lo],
-        "sec_32_all": [r["value"] for r in hi],
+        "cpus": [lo_cpus, hi_cpus],
+        "events_per_sec_lo": t_lo,
+        "events_per_sec_hi": t_hi,
+        "sec_lo": best_lo["value"],
+        "sec_hi": best_hi["value"],
+        "sec_lo_all": [r["value"] for r in lo],
+        "sec_hi_all": [r["value"] for r in hi],
         "scaling_efficiency": round(eff, 3),
+        "host_cpu_ceiling": ceiling,
+        "efficiency_vs_host_ceiling": round(eff / ceiling["efficiency"], 3),
     }))
 
 
