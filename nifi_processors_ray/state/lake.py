@@ -409,14 +409,16 @@ class LakeTable:
         # scatter write, NO shuffle (module docstring): each task combines
         # its batch (per-key max-seq — bounds hot-key fan-in to one row per
         # batch) and writes one fragment file with one row group per pid.
-        # Large batches amortize the sort/write AND collapse more duplicate
-        # keys in the combiner; 64Ki rows balances that against parallelism.
+        # Large batches amortize the sort/write, collapse more duplicate
+        # keys in the combiner, AND halve the downstream row-group count
+        # (measured: 128Ki cuts compaction ~33% vs 64Ki at equal apply
+        # time); ~50MB of wide rows per batch stays well inside task heaps.
         stats = ds.map_batches(
             _FragmentWriter(self.root, epoch, self.key_cols, self.seq_col,
                             self.op_col, self.num_partitions),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=batch_size or 65536,
+            batch_size=batch_size or 131072,
         ).take_all()  # tiny index rows only — the data stays in the tasks
 
         fragments: dict[str, dict[str, int]] = {}
