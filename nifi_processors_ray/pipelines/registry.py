@@ -921,7 +921,8 @@ s AS (
          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
   FROM d)
-SELECT user_id, session_idx, MIN(ts) AS session_start,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       MIN(ts) AS session_start,
        MAX(ts) AS session_end, COUNT(*) AS n_events
 FROM s GROUP BY user_id, session_idx
 """
