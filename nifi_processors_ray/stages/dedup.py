@@ -9,11 +9,14 @@
 
 Scale notes (the design assumption at 10^10 docs): every pipeline shuffles
 only (key, id) pairs — never content — after the per-batch signature stage;
-signatures are fixed-width; candidate verification happens inside the
-bucket's ``map_groups`` task; connected components use iterated min-label
-propagation (a few small shuffles) rather than a driver-side union-find.
-At sandbox scales the final clustering runs driver-side when the candidate
-pair set is provably small (guarded by ``max_driver_pairs``).
+signatures are fixed-width; candidate buckets are size-capped
+(``max_bucket_size``) so a degenerate band key cannot produce O(b^2) pairs;
+candidate-pair dedup and exact-Jaccard verification are distributed
+(groupby + hash-join + vectorized ``pairwise_shingle_jaccard``); connected
+components use iterated min-label propagation over Dataset ops
+(``label_propagation_components``), with a driver-side union-find fast path
+only when the VERIFIED pair set is provably small (``max_driver_pairs`` —
+beyond it the code falls back to label propagation, it does not raise).
 """
 
 from __future__ import annotations
@@ -244,6 +247,123 @@ def _connected_components(pairs: np.ndarray) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+_EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+
+
+def dedup_pairs(pairs_ds):
+    """Distributed (a, b) pair dedup: hash-partition on the pair itself and
+    keep one row per group. Only the pair columns move through the shuffle."""
+    return pairs_ds.groupby(["a", "b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def _repack(ds, n_rows: int, num_partitions: int):
+    """Rebuild a (small) Dataset into <= num_partitions all-nonempty blocks.
+
+    Workaround for a Ray 2.49 hash-join defect: when the first block the
+    join shuffle receives on a side is EMPTY (a zero-row table — e.g. an
+    inner-join partition with no matches, or an LSH bucket that emitted no
+    pairs), the downstream aggregator finalizes against a degenerate
+    partition and pyarrow raises ``No match ... for key field reference``.
+    Empty blocks bypass map operators entirely, so the only reliable fix is
+    a repartition sized so every output block holds >= 1 row."""
+    return ds.repartition(max(1, min(num_partitions, n_rows)))
+
+
+def attach_texts(pairs_ds, n_pairs: int, docs_ds, *, id_col: str,
+                 text_col: str, num_partitions: int = 8):
+    """Hash-join the corpus text onto each side of a candidate-pair Dataset
+    -> columns (a, b, text_a, text_b). Fully distributed: the pair set and
+    the (id, text) projection of the corpus are the only things shuffled.
+    ``n_pairs`` (the known pair count) sizes the anti-empty-block repack —
+    see ``_repack``."""
+
+    def side(name):
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.table({f"__{name}_id": batch[id_col],
+                             f"text_{name}": batch[text_col]})
+
+        return docs_ds.map_batches(project, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    j = _repack(pairs_ds, n_pairs, num_partitions).join(
+        side("a"), join_type="inner", num_partitions=num_partitions,
+        on=("a",), right_on=("__a_id",))
+    # inner-join against a unique corpus id keeps exactly n_pairs rows
+    j = _repack(j, n_pairs, num_partitions).join(
+        side("b"), join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=("__b_id",))
+    return j.select_columns(["a", "b", "text_a", "text_b"])
+
+
+def label_propagation_components(edges_ds, *, id_col: str = "doc_id",
+                                 num_partitions: int = 8,
+                                 max_iters: int = 50):
+    """Connected components over an (a, b) edge Dataset via iterated
+    min-label propagation — the multi-node path (no driver union-find).
+
+    Each iteration is one hash-join (edge endpoint -> current label) plus one
+    min-groupby; labels only ever decrease, so the sum of labels is a
+    monotone convergence metric and the loop stops the first iteration it is
+    unchanged. Cluster diameter bounds the iteration count (near-dup
+    clusters are shallow, so a handful of rounds in practice).
+
+    Returns a Dataset with (id_col, cluster_id = min member id) for every id
+    that appears in an edge.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([
+                pc.cast(c, pa.int64()) for c in
+                (batch["a"].combine_chunks(), batch["b"].combine_chunks())
+            ]),
+            "dst": pa.concat_arrays([
+                pc.cast(c, pa.int64()) for c in
+                (batch["b"].combine_chunks(), batch["a"].combine_chunks())
+            ]),
+        })
+
+    sym = edges_ds.map_batches(symmetrize, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    sym = _repack(sym, sym.count(), num_partitions).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch["src"], "label": batch["src"]})
+
+    labels = (sym.map_batches(init_labels, batch_format="pyarrow",
+                              zero_copy_batch=True)
+              .groupby("id").aggregate(Min("label", alias_name="label"))
+              .materialize())
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+    for _ in range(max_iters):
+        prop = sym.join(_repack(labels, labels.count(), num_partitions),
+                        join_type="inner", num_partitions=num_partitions,
+                        on=("src",), right_on=("id",))
+
+        def to_cand(batch: pa.Table) -> pa.Table:
+            return pa.table({"id": batch["dst"], "label": batch["label"]})
+
+        cand = prop.map_batches(to_cand, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        labels = (cand.union(labels)
+                  .groupby("id").aggregate(Min("label", alias_name="label"))
+                  .materialize())
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch["id"], "cluster_id": batch["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def minhash_dedup(
     ds,
     *,
@@ -253,76 +373,66 @@ def minhash_dedup(
     num_perm: int = 128,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket_size: int = 512,
     max_driver_pairs: int = 2_000_000,
 ):
     """MinHash+LSH near-duplicate clustering.
 
-    Pipeline: signature+band explode (map_batches, actor pool) ->
-    groupby(band, band_key) -> candidate pairs within bucket -> exact
-    Jaccard verification against a broadcast id->text lookup -> connected
+    Pipeline (distributed end to end): signature+band explode (map_batches)
+    -> groupby(band, band_key) -> size-capped candidate pairs within each
+    bucket -> distributed pair dedup -> exact-Jaccard verification as a
+    hash-join + vectorized ``pairwise_shingle_jaccard`` stage -> connected
     components. Returns ``(id_col, cluster_id)`` for documents that belong
     to a near-dup cluster (cluster_id = min member id).
 
-    The verification lookup is built from the candidate ids only (never the
-    full corpus); ``max_driver_pairs`` guards the driver-side component
-    step — beyond it, raise and point to the iterative label-propagation
-    variant.
+    ``max_bucket_size`` caps each LSH bucket (deterministically: the lowest
+    ids win) so a degenerate band key — e.g. millions of empty documents —
+    emits at most O(cap^2) pairs instead of O(b^2). Components run as a
+    driver union-find only when the verified pair count is under
+    ``max_driver_pairs``; larger graphs fall back to the distributed
+    ``label_propagation_components`` (result then arrives as a Dataset).
     """
-    import ray
-
     stage = MinHashStage(id_col=id_col, text_col=text_col, num_perm=num_perm,
                          bands=bands, shingle_k=shingle_k)
     banded = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(group[id_col]))
+        ids = np.unique(np.asarray(group[id_col]))[:max_bucket_size]
         if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
+            return _EMPTY_PAIRS
         a_idx, b_idx = np.triu_indices(len(ids), k=1)
         return pa.table({"a": pa.array(ids[a_idx]), "b": pa.array(ids[b_idx])})
 
-    pairs_ds = banded.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
-    pairs_tbl = pa.table(pairs_ds.to_pandas())
-    if pairs_tbl.num_rows > max_driver_pairs:
-        raise RuntimeError(
-            f"{pairs_tbl.num_rows} candidate pairs exceed max_driver_pairs; "
-            "use iterative label propagation for this corpus size"
-        )
-    if pairs_tbl.num_rows == 0:
+    cand = dedup_pairs(
+        banded.groupby(["band", "band_key"]).map_groups(
+            bucket_pairs, batch_format="pyarrow")
+    ).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "cluster_id": pa.array([], pa.int64())})
-    pairs = np.unique(
-        np.stack([np.asarray(pairs_tbl["a"]), np.asarray(pairs_tbl["b"])], axis=1),
-        axis=0,
-    )
-    # exact verification: fetch texts for candidate ids only
-    cand_ids = np.unique(pairs)
-    id_set = set(cand_ids.tolist())
 
-    def pick(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch[id_col], value_set=pa.array(cand_ids))
-        return batch.filter(mask).select([id_col, text_col])
+    # exact verification, distributed: join texts on, one vectorized
+    # Jaccard kernel per batch, filter by threshold — pairs never touch the
+    # driver here.
+    with_texts = attach_texts(cand, n_cand, ds, id_col=id_col,
+                              text_col=text_col)
+    verified = with_texts.map_batches(
+        lambda t: pairwise_shingle_jaccard(t, "text_a", "text_b", k=shingle_k),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).filter(expr=f"jaccard >= {threshold!r}").select_columns(["a", "b"]) \
+     .materialize()
 
-    texts_tbl = pa.table(
-        ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    )
-    lookup = dict(zip(texts_tbl[id_col].to_pylist(), texts_tbl[text_col].to_pylist()))
-    verified = np.array(
-        [
-            (a, b)
-            for a, b in pairs.tolist()
-            if ngram_jaccard(lookup.get(a, ""), lookup.get(b, ""), shingle_k)
-            >= threshold
-        ],
-        dtype=np.int64,
-    ).reshape(-1, 2)
-    if len(verified) == 0:
+    n_pairs = verified.count()
+    if n_pairs == 0:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "cluster_id": pa.array([], pa.int64())})
-    comp = _connected_components(verified)
+    if n_pairs > max_driver_pairs:
+        return label_propagation_components(verified, id_col=id_col)
+    arr = pa.table(verified.to_pandas())
+    pairs = np.stack([np.asarray(arr["a"], dtype=np.int64),
+                      np.asarray(arr["b"], dtype=np.int64)], axis=1)
+    comp = _connected_components(pairs)
     items = sorted(comp.items())
     return pa.table(
         {
@@ -333,11 +443,17 @@ def minhash_dedup(
 
 
 def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3):
+                  max_hamming: int = 3, max_bucket_size: int = 4096,
+                  max_driver_pairs: int = 2_000_000):
     """SimHash near-dup: 4 bands of 16 bits (any identical band is a
     candidate — guaranteed to catch all pairs with Hamming distance <= 3),
-    verified by exact Hamming distance. Returns verified pairs (a, b,
-    hamming)."""
+    verified by exact Hamming distance inside the bucket task. Returns
+    verified pairs (a, b, hamming).
+
+    Buckets are size-capped (lowest ids win, deterministic) and the
+    multi-band pair dedup runs distributed (groupby on the pair); the final
+    result only reaches the driver after a ``max_driver_pairs`` count guard
+    — beyond it the verified-pair Dataset is returned instead of a table."""
     from .textstats import FingerprintStage
 
     fp = FingerprintStage(text_col=text_col)
@@ -367,6 +483,7 @@ def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         ids = np.asarray(group[id_col])
         sims = np.asarray(group["simhash"]).astype(np.uint64)
         uniq, idx = np.unique(ids, return_index=True)
+        uniq, idx = uniq[:max_bucket_size], idx[:max_bucket_size]
         if len(uniq) < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
@@ -386,17 +503,20 @@ def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
             }
         )
 
-    pairs = (
+    # dedup pairs found in multiple bands, distributed (hamming is a
+    # function of (a, b), so keeping any one row per pair is exact)
+    deduped = (
         ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band", "band_key"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
     )
-    tbl = pa.table(pairs.to_pandas())
+    if deduped.count() > max_driver_pairs:
+        return deduped.sort(["a", "b"])
+    tbl = pa.table(deduped.to_pandas())
     if tbl.num_rows == 0:
         return tbl
-    # dedup pairs found in multiple bands
-    arr = np.unique(
-        np.stack([np.asarray(tbl["a"]), np.asarray(tbl["b"]),
-                  np.asarray(tbl["hamming"])], axis=1), axis=0)
-    return pa.table({"a": pa.array(arr[:, 0]), "b": pa.array(arr[:, 1]),
-                     "hamming": pa.array(arr[:, 2])})
+    order = np.lexsort((np.asarray(tbl["b"]), np.asarray(tbl["a"])))
+    return tbl.take(order)

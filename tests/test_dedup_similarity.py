@@ -135,3 +135,35 @@ def test_pairwise_shingle_jaccard_matches_scalar_kernel():
         got = out["jaccard"].to_pylist()
         want = [ngram_jaccard(x, y, k) for x, y in zip(a, b)]
         assert all(abs(g - w) < 1e-12 for g, w in zip(got, want)), (k, got, want)
+
+
+def test_minhash_dedup_label_propagation_matches_union_find():
+    """max_driver_pairs=0 forces the distributed min-label-propagation
+    components; the clusters must equal the driver union-find result."""
+    ds = rd.from_arrow(_docs())
+    want = minhash_dedup(ds, threshold=0.5)
+    got_ds = minhash_dedup(ds, threshold=0.5, max_driver_pairs=0)
+    got = pa.table(got_ds.to_pandas()).sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["cluster_id"].to_pylist() == want["cluster_id"].to_pylist()
+
+
+def test_label_propagation_components_chain():
+    """A 4-node chain (edges only between neighbors) needs >1 iteration to
+    converge; every node must end with the min member label."""
+    from nifi_processors_ray.stages.dedup import label_propagation_components
+
+    edges = rd.from_arrow(pa.table({"a": [10, 11, 12, 50], "b": [11, 12, 13, 51]}))
+    out = pa.table(label_propagation_components(edges, id_col="doc_id")
+                   .to_pandas()).sort_by("doc_id")
+    got = dict(zip(out["doc_id"].to_pylist(), out["cluster_id"].to_pylist()))
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 50: 50, 51: 50}
+
+
+def test_simhash_dedup_returns_dataset_beyond_guard():
+    ds = rd.from_arrow(_docs())
+    out = simhash_dedup(ds, max_hamming=4, max_driver_pairs=0)
+    assert not isinstance(out, pa.Table)  # Dataset path
+    tbl = pa.table(out.to_pandas())
+    pairs = {(a, b) for a, b in zip(tbl["a"].to_pylist(), tbl["b"].to_pylist())}
+    assert (3, 13) in pairs and (3, 23) in pairs and (13, 23) in pairs
