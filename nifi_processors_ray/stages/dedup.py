@@ -374,24 +374,36 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket_size: int = 512,
+    max_broadcast_docs: int = 500_000,
     max_driver_pairs: int = 2_000_000,
 ):
     """MinHash+LSH near-duplicate clustering.
 
     Pipeline (distributed end to end): signature+band explode (map_batches)
     -> groupby(band, band_key) -> size-capped candidate pairs within each
-    bucket -> distributed pair dedup -> exact-Jaccard verification as a
-    hash-join + vectorized ``pairwise_shingle_jaccard`` stage -> connected
-    components. Returns ``(id_col, cluster_id)`` for documents that belong
-    to a near-dup cluster (cluster_id = min member id).
+    bucket -> exact-Jaccard verification with the vectorized
+    ``pairwise_shingle_jaccard`` kernel -> connected components. Returns
+    ``(id_col, cluster_id)`` for documents that belong to a near-dup
+    cluster (cluster_id = min member id).
 
     ``max_bucket_size`` caps each LSH bucket (deterministically: the lowest
     ids win) so a degenerate band key — e.g. millions of empty documents —
-    emits at most O(cap^2) pairs instead of O(b^2). Components run as a
-    driver union-find only when the verified pair count is under
-    ``max_driver_pairs``; larger graphs fall back to the distributed
-    ``label_propagation_components`` (result then arrives as a Dataset).
+    emits at most O(cap^2) pairs instead of O(b^2). Candidate pairs found
+    by several bands are verified more than once (verification is
+    idempotent; a dedicated pair-dedup shuffle costs more than the
+    duplicate work) and collapsed at the component step.
+
+    Verification fetches candidate texts once: when the candidate id set
+    is under ``max_broadcast_docs`` their texts broadcast via the object
+    store and ONE map over the pairs verifies (no further shuffles); larger
+    sets fall back to a distributed double hash-join (``attach_texts``).
+    Components run as a driver union-find only when the verified pair count
+    is under ``max_driver_pairs``; larger graphs fall back to the
+    distributed ``label_propagation_components`` (result then arrives as a
+    Dataset).
     """
+    import ray
+
     stage = MinHashStage(id_col=id_col, text_col=text_col, num_perm=num_perm,
                          bands=bands, shingle_k=shingle_k)
     banded = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
@@ -403,35 +415,69 @@ def minhash_dedup(
         a_idx, b_idx = np.triu_indices(len(ids), k=1)
         return pa.table({"a": pa.array(ids[a_idx]), "b": pa.array(ids[b_idx])})
 
-    cand = dedup_pairs(
-        banded.groupby(["band", "band_key"]).map_groups(
-            bucket_pairs, batch_format="pyarrow")
-    ).materialize()
+    cand = banded.groupby(["band", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow").materialize()
     n_cand = cand.count()
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
     if n_cand == 0:
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         "cluster_id": pa.array([], pa.int64())})
+        return empty
 
-    # exact verification, distributed: join texts on, one vectorized
-    # Jaccard kernel per batch, filter by threshold — pairs never touch the
-    # driver here.
-    with_texts = attach_texts(cand, n_cand, ds, id_col=id_col,
-                              text_col=text_col)
-    verified = with_texts.map_batches(
-        lambda t: pairwise_shingle_jaccard(t, "text_a", "text_b", k=shingle_k),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).filter(expr=f"jaccard >= {threshold!r}").select_columns(["a", "b"]) \
-     .materialize()
+    cand_ids = None
+    if n_cand <= max_broadcast_docs:
+        cand_ids = np.unique(np.concatenate([
+            np.asarray(pa.table(cand.select_columns(["a"]).to_pandas())["a"]),
+            np.asarray(pa.table(cand.select_columns(["b"]).to_pandas())["b"]),
+        ]))
+    if cand_ids is not None and len(cand_ids) <= max_broadcast_docs:
+        ids_ref = ray.put(cand_ids)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            mask = pc.is_in(batch[id_col], value_set=pa.array(want))
+            return batch.filter(mask).select([id_col, text_col])
+
+        picked = pa.table(ds.map_batches(pick, batch_format="pyarrow",
+                                         zero_copy_batch=True).to_pandas())
+        pids = np.asarray(picked[id_col])
+        order = np.argsort(pids)
+        texts = picked[text_col].combine_chunks().take(pa.array(order))
+        texts_ref = ray.put((pids[order], texts))
+
+        def verify(batch: pa.Table) -> pa.Table:
+            ids_sorted, txt = ray.get(texts_ref)
+            a = np.asarray(batch["a"])
+            b = np.asarray(batch["b"])
+            t = pa.table({"a": batch["a"], "b": batch["b"],
+                          "text_a": txt.take(pa.array(
+                              np.searchsorted(ids_sorted, a))),
+                          "text_b": txt.take(pa.array(
+                              np.searchsorted(ids_sorted, b)))})
+            t = pairwise_shingle_jaccard(t, "text_a", "text_b", k=shingle_k)
+            keep = np.asarray(t["jaccard"]) >= threshold
+            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+        verified = cand.map_batches(verify, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+    else:
+        with_texts = attach_texts(cand, n_cand, ds, id_col=id_col,
+                                  text_col=text_col)
+        verified = with_texts.map_batches(
+            lambda t: pairwise_shingle_jaccard(t, "text_a", "text_b",
+                                               k=shingle_k),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).filter(expr=f"jaccard >= {threshold!r}") \
+         .select_columns(["a", "b"]).materialize()
 
     n_pairs = verified.count()
     if n_pairs == 0:
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         "cluster_id": pa.array([], pa.int64())})
+        return empty
     if n_pairs > max_driver_pairs:
         return label_propagation_components(verified, id_col=id_col)
     arr = pa.table(verified.to_pandas())
-    pairs = np.stack([np.asarray(arr["a"], dtype=np.int64),
-                      np.asarray(arr["b"], dtype=np.int64)], axis=1)
+    pairs = np.unique(np.stack([np.asarray(arr["a"], dtype=np.int64),
+                                np.asarray(arr["b"], dtype=np.int64)],
+                               axis=1), axis=0)
     comp = _connected_components(pairs)
     items = sorted(comp.items())
     return pa.table(

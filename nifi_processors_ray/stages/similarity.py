@@ -180,125 +180,198 @@ def lsh_bucket_topk(ds, query_ids, query_matrix, *, id_col: str = "vec_id",
                     vec_col=vec_col, k=k, exclude_self=exclude_self)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over uint64 (numpy<2 has no bitwise_count)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(
+        axis=1).astype(np.int64)
+
+
+def _sketch_hamming_cutoff(threshold: float, sketch_bits: int) -> int:
+    """Loose Hamming cutoff on a random-hyperplane sketch that keeps
+    essentially all pairs with cosine >= threshold: expected Hamming is
+    bits * angle/pi; allow +4 sigma of slack (binomial)."""
+    p = np.arccos(min(1.0, max(-1.0, threshold))) / np.pi
+    mu = sketch_bits * p
+    sigma = np.sqrt(sketch_bits * p * (1 - p)) if 0 < p < 1 else 0.0
+    return int(np.ceil(mu + 4 * sigma))
+
+
 def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
                       threshold: float = 0.95, n_bits: int = 6,
                       seed: int = 99, max_bucket_size: int = 4096,
-                      max_broadcast_ids: int = 4_000_000,
+                      max_broadcast_ids: int = 500_000,
                       num_partitions: int = 8) -> pa.Table:
     """Embedding-cosine near-duplicate pairs.
 
-    Candidate generation shuffles ONLY ``(bucket, id)`` rows — vectors never
-    enter the all-to-all. Each vector lands in its home LSH bucket once plus
-    one probe per SET bit of its code (clearing the bit). Clearing-only
-    ("downward") probes cover exactly the same pairs as probing every
-    Hamming-1 neighbor on both sides: a pair at Hamming distance 1 meets in
-    the lower code's home bucket, and a pair at distance 2 meets in the
-    bucket whose code has both differing bits cleared (which is < both
-    homes). That halves the probe count and — because probe rows carry no
-    vector — cuts shuffled bytes to ~1/(n_bits+1) of shipping (id, vec)
-    per probe (~1/7 at the default n_bits=6).
+    Candidate generation shuffles ONLY ``(bucket, id, sketch64)`` rows —
+    24 bytes/row; full vectors never enter the all-to-all (vs shipping
+    (id, vec) per probe: >20x fewer shuffled bytes at dim>=64). Each vector
+    lands in its home LSH bucket once plus one probe per SET bit of its
+    code (clearing the bit). Clearing-only ("downward") probes cover
+    exactly the same pairs as probing every Hamming-1 neighbor on both
+    sides: a pair at Hamming distance 1 meets in the lower code's home
+    bucket, and a pair at distance 2 meets in the bucket whose code has
+    both differing bits cleared (which is < both homes).
 
-    Verification: capped buckets emit (a, b) candidates; distributed pair
-    dedup; then candidate vectors are gathered once (broadcast-filtered by
-    candidate id when the candidate set is under ``max_broadcast_ids``, else
-    a full hash-join) and exact cosine runs vectorized. Returns (a, b,
-    cosine) pairs with cosine >= threshold, sorted by (a, b).
+    Inside each (size-capped) bucket, candidate pairs are pre-filtered by
+    Hamming distance on a 64-bit hyperplane sketch (a +4-sigma cutoff for
+    the target cosine — keeps ~all true near-dups, rejects ~all random
+    pairs, so dense buckets don't emit O(cap^2) candidates). Survivors are
+    deduped distributed, their vectors attached once (broadcast-filter +
+    hash-join; fixed-size-binary packed, since Acero can't carry
+    list<double>), and exact cosine confirms. Returns (a, b, cosine) pairs
+    with cosine >= threshold, sorted by (a, b).
     """
     import ray
+
+    ham_cut = _sketch_hamming_cutoff(threshold, 64)
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(batch[vec_col]))
         d = m.shape[1]
         rng = np.random.Generator(np.random.PCG64(seed))
         planes = rng.standard_normal((d, n_bits))
+        sk_planes = rng.standard_normal((d, 64))
         codes = ((m @ planes > 0) @ (1 << np.arange(n_bits))).astype(np.int64)
+        bits = (m @ sk_planes > 0).astype(np.uint64)
+        sketch = (bits << np.arange(64, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64).view(np.int64)
         ids = np.asarray(batch[id_col])
-        all_codes, all_ids = [codes], [ids]
+        all_codes, all_ids, all_sk = [codes], [ids], [sketch]
         for b in range(n_bits):
             has_bit = (codes >> b) & 1 == 1
             all_codes.append(codes[has_bit] ^ (1 << b))
             all_ids.append(ids[has_bit])
+            all_sk.append(sketch[has_bit])
         return pa.table({"bucket": pa.array(np.concatenate(all_codes)),
-                         id_col: pa.array(np.concatenate(all_ids))})
+                         id_col: pa.array(np.concatenate(all_ids)),
+                         "sketch": pa.array(np.concatenate(all_sk))})
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(group[id_col]))[:max_bucket_size]
-        if len(ids) < 2:
+        ids_all = np.asarray(group[id_col])
+        uniq, uidx = np.unique(ids_all, return_index=True)
+        uniq, uidx = uniq[:max_bucket_size], uidx[:max_bucket_size]
+        n = len(uniq)
+        if n < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+        sk = np.asarray(group["sketch"]).astype(np.uint64)[uidx]
+        # row-block sketch-Hamming filter: bounded memory even at the cap
+        out_a, out_b = [], []
+        blk = 256
+        for s in range(0, n - 1, blk):
+            e = min(s + blk, n - 1)
+            x = sk[s:e, None] ^ sk[None, :]            # (blk, n)
+            ham = _popcount64(x.reshape(-1)).reshape(e - s, n)
+            ii, jj = np.nonzero(ham <= ham_cut)
+            keep = jj > (ii + s)                        # upper triangle only
+            out_a.append(uniq[ii[keep] + s])
+            out_b.append(uniq[jj[keep]])
+        if not out_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b))})
 
-    from .dedup import dedup_pairs
+    _empty_out = pa.table({"a": pa.array([], pa.int64()),
+                           "b": pa.array([], pa.int64()),
+                           "cosine": pa.array([], pa.float64())})
 
-    cand = dedup_pairs(
+    # candidates may repeat across buckets (a pair can co-occur in several
+    # probe buckets); exact verification is idempotent, so duplicates are
+    # carried through and collapsed once on the (tiny) verified result
+    # rather than paying a dedicated dedup shuffle.
+    cand = (
         ds.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     ).materialize()
-    if cand.count() == 0:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
+    n_cand = cand.count()
+    if n_cand == 0:
+        return _empty_out
 
-    # gather candidate vectors: small candidate sets broadcast their id set
-    # and join against the pre-filtered corpus; big ones join the full
-    # corpus (still distributed, just more shuffle).
-    cand_ids = np.unique(np.concatenate([
-        np.asarray(pa.table(cand.select_columns(["a"]).to_pandas())["a"]),
-        np.asarray(pa.table(cand.select_columns(["b"]).to_pandas())["b"]),
-    ])) if cand.count() <= max_broadcast_ids else None
-    vec_side = ds
-    if cand_ids is not None:
+    cand_ids = None
+    if n_cand <= max_broadcast_ids:
+        cand_ids = np.unique(np.concatenate([
+            np.asarray(pa.table(cand.select_columns(["a"]).to_pandas())["a"]),
+            np.asarray(pa.table(cand.select_columns(["b"]).to_pandas())["b"]),
+        ]))
+    if cand_ids is not None and len(cand_ids) <= max_broadcast_ids:
+        # small candidate set: gather its vectors once, broadcast the
+        # normalized matrix via the object store, verify with one
+        # map_batches over the pairs — no further shuffles.
         ids_ref = ray.put(cand_ids)
 
         def pick(batch: pa.Table) -> pa.Table:
             want = ray.get(ids_ref)
             mask = pc.is_in(batch[id_col], value_set=pa.array(want))
-            return batch.filter(mask)
+            return batch.filter(mask).select([id_col, vec_col])
 
-        vec_side = ds.map_batches(pick, batch_format="pyarrow",
+        picked = pa.table(
+            ds.map_batches(pick, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas())
+        pids = np.asarray(picked[id_col])
+        order = np.argsort(pids)
+        mat = _normalize(_to_matrix(picked[vec_col]))[order]
+        mat_ref = ray.put((pids[order], mat))
+
+        def verify(batch: pa.Table) -> pa.Table:
+            ids_sorted, m = ray.get(mat_ref)
+            a = np.asarray(batch["a"])
+            b = np.asarray(batch["b"])
+            ia = np.searchsorted(ids_sorted, a)
+            ib = np.searchsorted(ids_sorted, b)
+            s = np.einsum("ij,ij->i", m[ia], m[ib])
+            keep = s >= threshold
+            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                             "cosine": pa.array(s[keep], pa.float64())})
+
+        tbl = pa.table(
+            cand.map_batches(verify, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas())
+    else:
+        # large candidate set: stay fully distributed — hash-join packed
+        # vectors onto each pair side, verify vectorized per batch.
+        from .dedup import _repack
+
+        def side(name):
+            def project(batch: pa.Table) -> pa.Table:
+                packed = _pack_vecs(_normalize(_to_matrix(batch[vec_col])))
+                return pa.table({f"__{name}_id": batch[id_col],
+                                 f"vec_{name}": packed})
+
+            return ds.map_batches(project, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
-    from .dedup import _repack
+        j = _repack(cand, n_cand, num_partitions).join(
+            side("a"), join_type="inner", num_partitions=num_partitions,
+            on=("a",), right_on=("__a_id",))
+        j = _repack(j, n_cand, num_partitions).join(
+            side("b"), join_type="inner", num_partitions=num_partitions,
+            on=("b",), right_on=("__b_id",))
 
-    if cand_ids is not None:
-        # the filtered corpus produces mostly-empty blocks; repack so the
-        # join never sees an empty leading block (Ray 2.49 defect, see
-        # dedup._repack)
-        vec_side = _repack(vec_side, len(cand_ids), num_partitions)
+        def cosine(batch: pa.Table) -> pa.Table:
+            ma = _unpack_vecs(batch["vec_a"])
+            mb = _unpack_vecs(batch["vec_b"])
+            s = np.einsum("ij,ij->i", ma, mb)
+            keep = s >= threshold
+            return pa.table(
+                {"a": batch["a"].combine_chunks().filter(pa.array(keep)),
+                 "b": batch["b"].combine_chunks().filter(pa.array(keep)),
+                 "cosine": pa.array(s[keep], pa.float64())})
 
-    def side(name):
-        def project(batch: pa.Table) -> pa.Table:
-            packed = _pack_vecs(_normalize(_to_matrix(batch[vec_col])))
-            return pa.table({f"__{name}_id": batch[id_col],
-                             f"vec_{name}": packed})
-
-        return vec_side.map_batches(project, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-
-    n_cand = cand.count()
-    j = _repack(cand, n_cand, num_partitions).join(
-        side("a"), join_type="inner", num_partitions=num_partitions,
-        on=("a",), right_on=("__a_id",))
-    j = _repack(j, n_cand, num_partitions).join(
-        side("b"), join_type="inner", num_partitions=num_partitions,
-        on=("b",), right_on=("__b_id",))
-
-    def cosine(batch: pa.Table) -> pa.Table:
-        ma = _unpack_vecs(batch["vec_a"])
-        mb = _unpack_vecs(batch["vec_b"])
-        s = np.einsum("ij,ij->i", ma, mb)
-        keep = s >= threshold
-        return pa.table({"a": batch["a"].combine_chunks().filter(pa.array(keep)),
-                         "b": batch["b"].combine_chunks().filter(pa.array(keep)),
-                         "cosine": pa.array(s[keep], pa.float64())})
-
-    tbl = pa.table(
-        j.map_batches(cosine, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-    )
+        tbl = pa.table(
+            j.map_batches(cosine, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas())
     if tbl.num_rows == 0:
-        return tbl
-    order = np.lexsort((np.asarray(tbl["b"]), np.asarray(tbl["a"])))
-    return tbl.take(order).combine_chunks()
+        return _empty_out
+    # collapse multi-bucket duplicates + canonical (a, b) order
+    arr = np.stack([np.asarray(tbl["a"]), np.asarray(tbl["b"])], axis=1)
+    uniq, uidx = np.unique(arr, axis=0, return_index=True)
+    return pa.table({
+        "a": pa.array(uniq[:, 0]),
+        "b": pa.array(uniq[:, 1]),
+        "cosine": pa.array(np.asarray(tbl["cosine"])[uidx], pa.float64()),
+    })

@@ -26,9 +26,12 @@ Dataflow per epoch (all streaming, no full materialization, NO shuffle):
 1. ``map_batches(_FragmentWriter)``: each task derives ``pid =
    hash64(*key_cols) % P``, LWW-reduces its batch to per-key max-``seq``
    rows (the combiner — a hot key contributes at most one row per input
-   batch), sorts by ``(pid, keys, seq desc)`` and writes ONE fragment file
-   with ONE PARQUET ROW GROUP PER PID, returning a tiny index table
-   ``(file, pid, row_group, rows, …)``.
+   batch, except under interleaved 64-bit key-hash collisions, where extra
+   rows may survive the combiner; merge-on-read's ``latest_by_key`` over
+   real keys still resolves the final state exactly), sorts by ``(pid,
+   keys, seq desc)`` and writes ONE fragment file with ONE PARQUET ROW
+   GROUP PER PID, returning a tiny index table ``(file, pid, row_group,
+   rows, …)``.
 2. The driver collects the index (P x tasks small rows) and writes
    ``_manifests/epoch-<e>.json`` — the commit fence — listing exactly which
    fragment files/row groups belong to the epoch, plus per-pid lineage
@@ -117,6 +120,29 @@ def latest_by_key(table: pa.Table, key_cols: list[str], seq_col: str) -> pa.Tabl
     return table.take(pa.array(np.asarray(idx)[first]))
 
 
+def _seq_sort_key(col) -> np.ndarray:
+    """``seq`` column -> numpy array safe to NEGATE inside ``np.lexsort``.
+
+    Negating is only sound for signed dtypes: a uint64 seq wraps mod 2^64
+    (seq=0 would beat every higher seq) and nulls turn into garbage via
+    ``np.asarray``. So: reject nulls outright, and range-check-cast integer/
+    timestamp seqs to int64 (pyarrow's safe cast raises on overflow).
+    Float seqs pass through as float64."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(
+            "seq column must be non-null: LWW ordering is undefined for "
+            "events without a sequence number")
+    t = col.type
+    if (pa.types.is_unsigned_integer(t) or pa.types.is_signed_integer(t)
+            or pa.types.is_timestamp(t)):
+        col = pc.cast(col, pa.int64())  # safe cast: raises if out of range
+    elif not pa.types.is_floating(t):
+        raise TypeError(f"unsupported seq dtype for LWW ordering: {t}")
+    return np.asarray(col)
+
+
 def _atomic_write_parquet(table: pa.Table, final_path: str) -> int:
     os.makedirs(os.path.dirname(final_path), exist_ok=True)
     tmp = final_path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -181,7 +207,7 @@ class _FragmentWriter:
         n = batch.num_rows
         h = hash64_columns(batch, self.key_cols)
         pid_all = (h % np.uint64(self.num_partitions)).astype(np.int64)
-        seq = np.asarray(batch[self.seq_col])
+        seq = _seq_sort_key(batch[self.seq_col])
         idx = np.lexsort((-seq, h, pid_all)) if n else np.empty(0, np.int64)
         hs = h[idx]
         first = np.zeros(n, dtype=bool)
@@ -252,12 +278,29 @@ class _FragmentWriter:
 
 @dataclass
 class _PartitionResolver:
-    """Merge-on-read / compaction kernel for one pid: stream base files +
-    manifest-listed delta row groups, resolve LWW, drop tombstones.
+    """Merge-on-read / compaction kernel for one (pid, salt) sub-partition:
+    stream the matching base sub-file(s) + the pid's manifest-listed delta
+    row groups (filtered to the salt), resolve LWW, drop tombstones.
 
     ``frag_index``: pid -> list of (fragment relpath, row_group) pairs,
     built by the driver from the pending epochs' manifests — ONLY committed
-    row groups are ever read (the exactly-once read side)."""
+    row groups are ever read (the exactly-once read side).
+
+    Salt model (the 100-TB bound): a pid whose resolved state outgrows
+    ``salt_threshold`` is physically split into ``k`` sub-files
+    ``pid=<p>-s<t>.parquet`` by ``hash64(last key col) % k`` with ``k``
+    always a POWER OF TWO. Power-of-two ``k`` makes sub-files alignable
+    across versions without whole-pid reads: for a task resolving salt
+    ``t`` at width ``k`` against a base written at width ``k_old``,
+
+    * ``k >= k_old``: rows of new salt ``t`` live only in old sub-file
+      ``t % k_old`` (one read, filtered down when ``k > k_old``);
+    * ``k < k_old``: they are exactly the union of old sub-files
+      ``{t, t+k, t+2k, ...}`` (no filter needed).
+
+    So no task — compaction or merge-on-read — ever materializes more than
+    one sub-partition of base plus its share of deltas, regardless of how
+    hot the pid is."""
 
     root: str
     key_cols: list[str]
@@ -268,17 +311,41 @@ class _PartitionResolver:
     drop_tombstones: bool = True
     drop_meta: bool = False
 
-    def resolve_pid(self, pid: int, base_version: int) -> pa.Table:
+    def _salt_hash(self, t: pa.Table) -> np.ndarray:
+        return hash64_columns(t, self.key_cols[-1:])
+
+    def _base_file(self, bdir: str, pid: int, s: int, k_old: int) -> str:
+        fn = f"pid={pid}.parquet" if k_old <= 1 else f"pid={pid}-s{s}.parquet"
+        return os.path.join(bdir, fn)
+
+    def resolve_sub(self, pid: int, salt: int, k: int, base_version: int,
+                    k_old: int) -> pa.Table:
+        """Resolve sub-partition ``salt`` of ``k`` for ``pid`` whose base
+        (version ``base_version``) was written with ``k_old`` salts.
+        ``salt=0, k=1`` resolves the whole pid."""
         tables = []
         if base_version >= 0:
             bdir = os.path.join(self.root, "base", f"v={base_version}")
-            if os.path.isdir(bdir):
-                for fn in sorted(os.listdir(bdir)):
-                    if fn == f"pid={pid}.parquet" or fn.startswith(f"pid={pid}-s"):
-                        tables.append(pq.read_table(os.path.join(bdir, fn)))
+            if k >= k_old:
+                p = self._base_file(bdir, pid, salt % max(1, k_old), k_old)
+                if os.path.exists(p):
+                    t = pq.read_table(p)
+                    if k > k_old and t.num_rows:
+                        mask = self._salt_hash(t) % np.uint64(k) == salt
+                        t = t.filter(pa.array(mask))
+                    tables.append(t)
+            else:
+                for s in range(salt, k_old, k):
+                    p = self._base_file(bdir, pid, s, k_old)
+                    if os.path.exists(p):
+                        tables.append(pq.read_table(p))
         for relpath, rg in self.frag_index.get(pid, ()):
             f = pq.ParquetFile(os.path.join(self.root, "deltas", relpath))
-            tables.append(f.read_row_group(rg))
+            t = f.read_row_group(rg)
+            if k > 1 and t.num_rows:
+                mask = self._salt_hash(t) % np.uint64(k) == salt
+                t = t.filter(pa.array(mask))
+            tables.append(t)
         if not tables:
             return self._empty()
         merged = latest_by_key(concat_evolve(tables), self.key_cols, self.seq_col)
@@ -289,6 +356,9 @@ class _PartitionResolver:
         if self.drop_meta and self.op_col and self.op_col in merged.column_names:
             merged = merged.drop_columns([self.op_col])
         return merged
+
+    def resolve_pid(self, pid: int, base_version: int, k_old: int = 1) -> pa.Table:
+        return self.resolve_sub(pid, 0, 1, base_version, k_old)
 
     def _empty(self) -> pa.Table:
         schema = self.schema if self.schema is not None else pa.schema([])
@@ -498,35 +568,81 @@ class LakeTable:
         pending = [e for e in self.committed_epochs() if e not in set(folded)]
         return base_version, pending
 
+    def _base_partitions(self, base_version: int) -> dict[int, dict]:
+        """pid -> {"rows", "salts"} from the base version's compact manifest
+        ({} when there is no base)."""
+        if base_version < 0:
+            return {}
+        m = self._read_manifest(f"compact-{base_version}.json")
+        return {int(p): v for p, v in m.get("partitions", {}).items()}
+
+    def _salt_plan(self, base_version: int, pending: list[int],
+                   max_salts: int = 256) -> dict[int, tuple[int, int]]:
+        """pid -> (k, k_old): per-pid sub-partition width for the NEXT
+        resolve pass, from manifest row counts only (no data reads).
+
+        ``k`` is the next power of two covering (base rows + pending delta
+        rows) / salt_threshold — an upper bound on the resolved size, so a
+        sub-partition task never sees more than ~salt_threshold rows of base
+        plus its 1/k share of deltas. ``k_old`` is the width the current
+        base was written with (1 = unsalted)."""
+        base_parts = self._base_partitions(base_version)
+        est: dict[int, int] = {p: int(v.get("rows", 0))
+                               for p, v in base_parts.items()}
+        for e in pending:
+            m = self._read_manifest(f"epoch-{e}.json")
+            for pid_s, c in m.get("partitions", {}).items():
+                pid = int(pid_s)
+                est[pid] = est.get(pid, 0) + int(c.get("rows_delta", 0))
+        plan = {}
+        for pid in range(self.num_partitions):
+            need = max(1, -(-est.get(pid, 0) // max(1, self.salt_threshold)))
+            k = 1
+            while k < need and k < max_salts:
+                k *= 2
+            k_old = int(base_parts.get(pid, {}).get("salts", 1))
+            plan[pid] = (k, k_old)
+        return plan
+
     def read(self, *, drop_meta: bool = True):
         """Current table state as a streaming ``ray.data.Dataset`` — one
-        merge-on-read task per pid, nothing materialized on the driver."""
+        merge-on-read task per (pid, salt) sub-partition (see
+        ``_PartitionResolver``: a hot pid fans out to k bounded tasks
+        instead of one giant one), nothing materialized on the driver."""
         import ray.data as rd
 
         base_version, pending = self._pending_state()
         resolver = self._resolver(pending, drop_tombstones=True,
                                   drop_meta=drop_meta)
+        plan = self._salt_plan(base_version, pending)
 
         def resolve(batch: pa.Table) -> pa.Table:
             out = [
-                resolver.resolve_pid(int(pid), base_version)
-                for pid in batch["pid"].to_pylist()
+                resolver.resolve_sub(int(pid), int(salt), int(k),
+                                     base_version, int(k_old))
+                for pid, salt, k, k_old in zip(
+                    batch["pid"].to_pylist(), batch["salt"].to_pylist(),
+                    batch["k"].to_pylist(), batch["k_old"].to_pylist())
             ]
             return concat_evolve(out) if out else resolver._empty()
 
-        pids = rd.from_items(
-            [{"pid": i} for i in range(self.num_partitions)],
-            override_num_blocks=self.num_partitions,
-        )
-        return pids.map_batches(resolve, batch_format="pyarrow", batch_size=1)
+        items = [
+            {"pid": pid, "salt": s, "k": k, "k_old": k_old}
+            for pid, (k, k_old) in plan.items()
+            for s in range(k)
+        ]
+        subs = rd.from_items(items, override_num_blocks=len(items))
+        return subs.map_batches(resolve, batch_format="pyarrow", batch_size=1)
 
     def read_table(self) -> pa.Table:
         """Small-scale convenience: fully materialized current state,
         resolved WITHOUT Ray (driver-side pyarrow) — used by tests/oracles."""
         base_version, pending = self._pending_state()
         resolver = self._resolver(pending, drop_tombstones=True, drop_meta=True)
+        plan = self._salt_plan(base_version, pending)
         return concat_evolve(
-            [resolver.resolve_pid(p, base_version) for p in range(self.num_partitions)]
+            [resolver.resolve_pid(p, base_version, plan[p][1])
+             for p in range(self.num_partitions)]
         )
 
     def compact(self) -> dict:
@@ -542,51 +658,57 @@ class LakeTable:
             return self._read_manifest(f"compact-{base_version}.json")
         resolver = self._resolver(pending, drop_tombstones=True, drop_meta=False)
         root = self.root
-        salt_threshold = self.salt_threshold
-        key_cols = self.key_cols
+        plan = self._salt_plan(base_version, pending)
 
-        def compact_pid(batch: pa.Table) -> pa.Table:
+        def compact_sub(batch: pa.Table) -> pa.Table:
+            # one task per (pid, salt) sub-partition: reads ONLY the aligned
+            # base sub-file(s) + this pid's delta row groups filtered to the
+            # salt — never a whole hot pid (the 100-TB bound; see
+            # _PartitionResolver docstring)
             rows = []
-            for pid in batch["pid"].to_pylist():
-                t = resolver.resolve_pid(int(pid), base_version)
-                bdir = os.path.join(root, "base", f"v={new_version}")
-                if t.num_rows > salt_threshold:
-                    # hot-partition salting: split one giant pid by the last
-                    # key column's hash into bounded sub-files
-                    salt = hash64_columns(t, key_cols[-1:]) % np.uint64(
-                        max(2, t.num_rows // salt_threshold + 1)
-                    )
-                    nbytes = 0
-                    for s in np.unique(salt):
-                        nbytes += _atomic_write_parquet(
-                            t.filter(pa.array(salt == s)),
-                            os.path.join(bdir, f"pid={int(pid)}-s{int(s)}.parquet"),
-                        )
-                else:
-                    nbytes = _atomic_write_parquet(
-                        t, os.path.join(bdir, f"pid={int(pid)}.parquet")
-                    )
-                rows.append((int(pid), t.num_rows, nbytes))
+            bdir = os.path.join(root, "base", f"v={new_version}")
+            for pid, salt, k, k_old in zip(
+                    batch["pid"].to_pylist(), batch["salt"].to_pylist(),
+                    batch["k"].to_pylist(), batch["k_old"].to_pylist()):
+                t = resolver.resolve_sub(int(pid), int(salt), int(k),
+                                         base_version, int(k_old))
+                fn = (f"pid={int(pid)}.parquet" if k == 1
+                      else f"pid={int(pid)}-s{int(salt)}.parquet")
+                # skip empty sub-files (k is an upper-bound estimate);
+                # resolve_sub treats a missing sub-file as empty
+                nbytes = (_atomic_write_parquet(t, os.path.join(bdir, fn))
+                          if t.num_rows else 0)
+                rows.append((int(pid), int(salt), int(k), t.num_rows, nbytes))
             return pa.table(
                 {
                     "pid": pa.array([r[0] for r in rows], pa.int64()),
-                    "rows": pa.array([r[1] for r in rows], pa.int64()),
-                    "bytes": pa.array([r[2] for r in rows], pa.int64()),
+                    "salt": pa.array([r[1] for r in rows], pa.int64()),
+                    "salts": pa.array([r[2] for r in rows], pa.int64()),
+                    "rows": pa.array([r[3] for r in rows], pa.int64()),
+                    "bytes": pa.array([r[4] for r in rows], pa.int64()),
                 }
             )
 
-        pids = rd.from_items(
-            [{"pid": i} for i in range(self.num_partitions)],
-            override_num_blocks=self.num_partitions,
-        )
+        items = [
+            {"pid": pid, "salt": s, "k": k, "k_old": k_old}
+            for pid, (k, k_old) in plan.items()
+            for s in range(k)
+        ]
+        subs = rd.from_items(items, override_num_blocks=len(items))
         stats = (
-            pids.map_batches(compact_pid, batch_format="pyarrow", batch_size=1)
+            subs.map_batches(compact_sub, batch_format="pyarrow", batch_size=1)
             .take_all()
         )
+        partitions: dict[str, dict[str, int]] = {}
+        for s in stats:
+            p = partitions.setdefault(str(s["pid"]), {"rows": 0, "salts": 1})
+            p["rows"] += int(s["rows"])
+            p["salts"] = int(s["salts"])
         _, folded_before = self.latest_compaction()
         manifest = {
             "version": new_version,
             "epochs": sorted(set(folded_before) | set(pending)),
+            "partitions": partitions,
             "rows": int(sum(s["rows"] for s in stats)),
             "bytes": int(sum(s["bytes"] for s in stats)),
         }

@@ -281,3 +281,72 @@ def test_hot_partition_salted_split(tmp_path):
                                         paths_per_repo=50)]
     )
     assert replay_verify(lake, expected_snapshot(full))
+    # SECOND compaction must fold the new epoch against the salted base via
+    # aligned sub-partition tasks (never re-reading a whole pid) and still
+    # resolve exactly; salts are recorded in the manifest
+    m2 = lake.compact()
+    assert replay_verify(lake, before := expected_snapshot(full))
+    assert any(int(v["salts"]) > 1 for v in m2["partitions"].values())
+    # every sub-file is bounded: a compaction task's OUTPUT is its whole
+    # input sub-partition post-LWW, so this also bounds per-task work
+    import pyarrow.parquet as pq
+    base2 = tmp_path / "lake" / "base" / "v=1"
+    for f in base2.iterdir():
+        assert pq.read_metadata(base2 / f.name).num_rows <= 2 * 150
+
+
+def test_salt_plan_power_of_two_alignment(tmp_path):
+    """k always a power of two and >= 1; a task at width k against a base
+    at width k_old reads exactly the aligned sub-files (checked indirectly:
+    state equality across compactions where k grows)."""
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=2,
+                     salt_threshold=100)
+    per = N // EPOCHS
+    # epoch 0 -> compact (small base, maybe k=1..) -> more epochs -> compact
+    lake.apply_epoch(rd.from_arrow(change_stream_batch(0, per, seed=7,
+                                                       n_repos=20,
+                                                       paths_per_repo=50)), 0)
+    lake.compact()
+    plan0 = lake._salt_plan(*lake._pending_state())
+    for k, _k_old in plan0.values():
+        assert k & (k - 1) == 0 and k >= 1
+    for i in range(1, EPOCHS):
+        lake.apply_epoch(
+            rd.from_arrow(change_stream_batch(i * per, per, seed=7,
+                                              n_repos=20, paths_per_repo=50)),
+            i)
+    lake.compact()
+    plan1 = lake._salt_plan(*lake._pending_state())
+    # k grew with data volume and stays pow2
+    assert max(k for k, _ in plan1.values()) >= max(k for k, _ in plan0.values())
+    for k, _k_old in plan1.values():
+        assert k & (k - 1) == 0
+    assert replay_verify(lake, expected_snapshot(_events()))
+
+
+def test_seq_dtype_guard(tmp_path):
+    """Unsigned seq within int64 range is accepted (cast); null seq is
+    rejected loudly instead of silently corrupting LWW order."""
+    from nifi_processors_ray.state.lake import _seq_sort_key
+    import numpy as np
+
+    u = pa.chunked_array([pa.array([5, 0, 3], pa.uint64())])
+    out = _seq_sort_key(u)
+    assert out.dtype == np.int64 and list(out) == [5, 0, 3]
+    with pytest.raises(pa.ArrowInvalid):
+        _seq_sort_key(pa.array([2**63], pa.uint64()))  # out of int64 range
+    with pytest.raises(ValueError):
+        _seq_sort_key(pa.array([1, None], pa.int64()))
+    with pytest.raises(TypeError):
+        _seq_sort_key(pa.array(["x"], pa.string()))
+    # end-to-end: uint64 seq stream resolves LWW correctly (seq=0 must lose)
+    t = pa.table({
+        "repo": ["r", "r"], "path": ["p", "p"],
+        "seq": pa.array([7, 0], pa.uint64()),
+        "op": ["upsert", "upsert"],
+        "content": ["new", "old"],
+    })
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    lake.apply_epoch(rd.from_arrow(t), 0)
+    got = lake.read_table()
+    assert got.num_rows == 1 and got["content"].to_pylist() == ["new"]

@@ -167,3 +167,22 @@ def test_simhash_dedup_returns_dataset_beyond_guard():
     tbl = pa.table(out.to_pandas())
     pairs = {(a, b) for a, b in zip(tbl["a"].to_pylist(), tbl["b"].to_pylist())}
     assert (3, 13) in pairs and (3, 23) in pairs and (13, 23) in pairs
+
+
+def test_embedding_neardup_join_fallback_matches_broadcast():
+    """max_broadcast_ids=0 forces the distributed join verification path;
+    results must equal the broadcast-matrix route."""
+    ds = rd.from_arrow(_embeddings())
+    want = embedding_neardup(ds, threshold=0.999, n_bits=5)
+    got = embedding_neardup(ds, threshold=0.999, n_bits=5, max_broadcast_ids=0)
+    assert got["a"].to_pylist() == want["a"].to_pylist()
+    assert got["b"].to_pylist() == want["b"].to_pylist()
+    assert np.allclose(got["cosine"].to_pylist(), want["cosine"].to_pylist())
+
+
+def test_minhash_dedup_join_fallback_matches_broadcast():
+    ds = rd.from_arrow(_docs())
+    want = minhash_dedup(ds, threshold=0.5)
+    got = minhash_dedup(ds, threshold=0.5, max_broadcast_docs=0)
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["cluster_id"].to_pylist() == want["cluster_id"].to_pylist()
