@@ -976,6 +976,37 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
 """
 
 
+_GOLDEN_ZIP = "/root/reference/nifi_test2_dev.zip"
+_GOLDEN_TSV = "/root/reference/allCountries_100.txt"
+
+
+def q_rule_geonames(sf_dir: str):
+    """Golden rule-project end-to-end: the reference's own JaRE zip
+    (``nifi_test2_dev.zip`` -> ``Group 1.xml``) over its own GeoNames
+    sample, through read_delimited_text -> RuleEngineStage
+    (ExecuteRuleEngine.java:330-336; ExecuteRuleEngine_Example.xml flow).
+    ``sf_dir`` is unused — the inputs ARE the golden artifacts."""
+    from ..sources.ruleproject import GEONAMES_FIELDS, load_rule_project
+    from ..sources.text import read_delimited_text
+    from ..stages.rules import RuleEngineStage
+
+    spec = load_rule_project(_GOLDEN_ZIP)
+    ds = read_delimited_text(_GOLDEN_TSV, separator="\t",
+                             field_names=GEONAMES_FIELDS)
+    out = ds.map_batches(RuleEngineStage(spec, as_of="2017-03-01"),
+                         batch_format="pyarrow")
+    return _to_table(out).select(["geonameid", "feature_code", "route"])
+
+
+SQL_RULE_GEONAMES = """
+SELECT column00 AS geonameid, column07 AS feature_code,
+       CASE WHEN column07 IN ('GRVC', 'GRVO', 'GRVP', 'GRVPN')
+            THEN 'success' ELSE 'failed' END AS route
+FROM read_csv('/root/reference/allCountries_100.txt', delim='\t',
+              header=false, all_varchar=true, quote='')
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -985,6 +1016,7 @@ QUERIES = {
     "render_template": q_render_template,
     "rule_route": q_rule_route,
     "rule_detailed": q_rule_detailed,
+    "rule_geonames": q_rule_geonames,
     "generate_rows": q_generate_rows,
     "cdc_events_latest": q_cdc_events_latest,
     "latest_event_per_user": q_latest_event_per_user,
@@ -1022,6 +1054,7 @@ ORACLE_SQL = {
     "render_template": SQL_RENDER_TEMPLATE,
     "rule_route": SQL_RULE_ROUTE,
     "rule_detailed": SQL_RULE_DETAILED,
+    "rule_geonames": SQL_RULE_GEONAMES,
     "cdc_events_latest": SQL_CDC_EVENTS_LATEST,
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
     "cdc_documents_snapshot": SQL_CDC_DOCUMENTS_SNAPSHOT,

@@ -76,6 +76,25 @@ def _as_bool_filled(mask, n: int) -> np.ndarray:
 
 
 def _num(col):
+    """Numeric view of a (stringly-typed) column for gt/ge/lt/le/between.
+
+    Per-ROW tolerance, not per-batch: a malformed value becomes null (and
+    thus fails the check via the null-fails-checks rule) instead of
+    aborting the whole batch — the reference routes engine errors per row
+    (ExecuteRuleEngine.java:559-564). The happy path is a single cast; the
+    regex-screened fallback only runs when a batch actually contains
+    garbage."""
+    t = col.type if not isinstance(col, pa.ChunkedArray) else col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        col = pc.utf8_trim_whitespace(col)
+        try:
+            return pc.cast(col, pa.float64(), safe=False)
+        except pa.ArrowInvalid:
+            ok = pc.match_substring_regex(
+                col, r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+            cleaned = pc.if_else(pc.fill_null(ok, False), col,
+                                 pa.scalar(None, t))
+            return pc.cast(cleaned, pa.float64(), safe=False)
     return pc.cast(col, pa.float64(), safe=False)
 
 
@@ -90,6 +109,8 @@ def _eval_check(col, check: str, value) -> "pa.BooleanArray":
         return pc.invert(pc.is_in(col, value_set=pa.array(value, type=col.type)))
     if check == "contains":
         return pc.match_substring(col, value)
+    if check == "not_contains":
+        return pc.invert(pc.match_substring(col, value))
     if check == "starts_with":
         return pc.starts_with(col, value)
     if check == "ends_with":
@@ -102,6 +123,8 @@ def _eval_check(col, check: str, value) -> "pa.BooleanArray":
         return pc.is_valid(col)
     if check == "is_empty":
         return pc.or_kleene(pc.is_null(col), pc.equal(col, ""))
+    if check == "is_not_empty":
+        return pc.and_kleene(pc.is_valid(col), pc.not_equal(col, ""))
     if check == "longer_than":
         return pc.greater(pc.utf8_length(col), value)
     if check == "shorter_than":
@@ -184,7 +207,12 @@ class CompiledRules:
                 continue
             dep = g.get("depends_on")
             if dep is not None:
-                active = group_passed[dep].copy()
+                # depends_if: run this group where the dependency passed
+                # (default) or where it failed (JaRE dependentgroupexecuteif)
+                if g.get("depends_if", "passed") == "failed":
+                    active = ~group_passed[dep] & ~group_skipped[dep]
+                else:
+                    active = group_passed[dep].copy()
                 skipped = ~active
             else:
                 active = np.ones(n, dtype=bool)
