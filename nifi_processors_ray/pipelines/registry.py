@@ -51,11 +51,14 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _round_cols(tbl: pa.Table, spec: dict[str, int]) -> pa.Table:
+    # half_towards_infinity == away-from-zero == DuckDB's ROUND, so exact
+    # halves (e.g. 105/128 at 6dp) round identically on both sides
     for col, nd in spec.items():
         if col in tbl.column_names:
             tbl = tbl.set_column(
                 tbl.column_names.index(col), col,
-                pc.round(tbl[col], ndigits=nd),
+                pc.round(tbl[col], ndigits=nd,
+                         round_mode="half_towards_infinity"),
             )
     return tbl
 
@@ -258,11 +261,16 @@ def q_cdc_events_latest(sf_dir: str):
 
         return f
 
-    lake.apply_epoch(framed.map_batches(_parity(0), batch_format="pyarrow",
-                                        zero_copy_batch=True), 0)
-    lake.apply_epoch(framed.map_batches(_parity(1), batch_format="pyarrow",
-                                        zero_copy_batch=True), 1)
-    final = lake.read_table()
+    try:
+        lake.apply_epoch(framed.map_batches(_parity(0), batch_format="pyarrow",
+                                            zero_copy_batch=True), 0)
+        lake.apply_epoch(framed.map_batches(_parity(1), batch_format="pyarrow",
+                                            zero_copy_batch=True), 1)
+        final = lake.read_table()
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
     return final.select(["user_id", "event_id", "event_type", "value"])
 
 
@@ -337,8 +345,13 @@ def q_cdc_documents_snapshot(sf_dir: str):
     root = tempfile.mkdtemp(prefix="cdc_docs_", dir="/tmp")
     lake = LakeTable(root, key_cols=("repo", "path"), seq_col="seq",
                      op_col="op", num_partitions=16)
-    lake.apply_epoch(framed, 0)
-    final = lake.read_table()
+    try:
+        lake.apply_epoch(framed, 0)
+        final = lake.read_table()
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
     sha = pa.array(sha256_column(final["content"]), pa.string())
     return final.select(["repo", "path", "seq"]).append_column(
         "content_sha256", sha
@@ -429,50 +442,91 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
 
-def q_revenue_by_nation(sf_dir: str):
-    """Broadcast join: the small dimension side (customer -> nation name)
-    is put in the object store ONCE and looked up per batch with numpy
-    searchsorted — no shuffle of the fact table."""
+def revenue_by_nation_pipeline(sf_dir: str, *,
+                               max_broadcast_bytes: int | None = None):
+    """Dimension join with a byte-budget guard: when the (customer ->
+    nation) dimension projection fits ``check_broadcast_budget`` it ships
+    ONCE via ``ray.put`` and each batch looks it up with searchsorted (no
+    fact-table shuffle); when it doesn't, the pipeline falls back to the
+    partitioned ``bucket_join`` — the dimension is no longer 'small' and
+    broadcasting it would be the 100-TB failure mode."""
     import pyarrow.parquet as pq
     import ray
     from ray.data.aggregate import Count, Sum
 
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_nationkey"])
+    from ..stages.joins import (DEFAULT_BROADCAST_BUDGET, bucket_join,
+                                check_broadcast_budget,
+                                parquet_projected_bytes)
+
+    if max_broadcast_bytes is None:
+        max_broadcast_bytes = DEFAULT_BROADCAST_BUDGET
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
     nk = np.asarray(nation["n_nationkey"]).astype(np.int64)
     nname = np.asarray(nation["n_name"]).astype(object)
     order_n = np.argsort(nk)
-    ckey = np.asarray(cust["c_custkey"]).astype(np.int64)
-    cnat = np.asarray(cust["c_nationkey"]).astype(np.int64)
-    order_c = np.argsort(ckey)
-    lookup_ref = ray.put((ckey[order_c], cnat[order_c], nk[order_n],
-                          nname[order_n]))
+    nk, nname = nk[order_n], nname[order_n]
 
-    class AttachNation:
-        def __init__(self):
-            self.ck, self.cn, self.nk, self.nn = ray.get(lookup_ref)
+    dim_bytes = parquet_projected_bytes(cust_path,
+                                        ["c_custkey", "c_nationkey"])
+    if check_broadcast_budget(dim_bytes, what="customer dimension",
+                              max_broadcast_bytes=max_broadcast_bytes):
+        cust = pq.read_table(cust_path, columns=["c_custkey", "c_nationkey"])
+        ckey = np.asarray(cust["c_custkey"]).astype(np.int64)
+        cnat = np.asarray(cust["c_nationkey"]).astype(np.int64)
+        order_c = np.argsort(ckey)
+        lookup_ref = ray.put((ckey[order_c], cnat[order_c], nk, nname))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            cust_idx = np.searchsorted(self.ck, np.asarray(batch["o_custkey"]))
-            nat = self.cn[cust_idx]
-            nat_idx = np.searchsorted(self.nk, nat)
-            names = self.nn[nat_idx]
+        class AttachNation:
+            def __init__(self):
+                self.ck, self.cn, self.nk, self.nn = ray.get(lookup_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                cust_idx = np.searchsorted(self.ck,
+                                           np.asarray(batch["o_custkey"]))
+                nat = self.cn[cust_idx]
+                nat_idx = np.searchsorted(self.nk, nat)
+                names = self.nn[nat_idx]
+                return batch.append_column(
+                    "n_name", pa.array(names.tolist(), pa.string())
+                )
+
+        joined = orders.map_batches(AttachNation, batch_format="pyarrow",
+                                    zero_copy_batch=True, concurrency=2,
+                                    max_restarts=0)
+    else:
+        # dimension over budget: partitioned hash join, then the (tiny,
+        # asserted) nation map attaches per batch
+        cust_ds = _read(sf_dir, "customer",
+                        columns=["c_custkey", "c_nationkey"])
+        joined_ck = bucket_join(orders, cust_ds, left_on="o_custkey",
+                                right_on="c_custkey", num_buckets=32)
+        assert check_broadcast_budget(nation.nbytes, what="nation"), \
+            "nation dimension exceeds broadcast budget"
+        nat_ref = ray.put((nk, nname))
+
+        def attach_name(batch: pa.Table) -> pa.Table:
+            k, nn = ray.get(nat_ref)
+            idx = np.searchsorted(k, np.asarray(batch["c_nationkey"]))
             return batch.append_column(
-                "n_name", pa.array(names.tolist(), pa.string())
-            )
+                "n_name", pa.array(nn[idx].tolist(), pa.string()))
 
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        joined = joined_ck.map_batches(attach_name, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
     out = (
-        orders.map_batches(AttachNation, batch_format="pyarrow",
-                           zero_copy_batch=True, concurrency=2,
-                           max_restarts=0)
+        joined
         .groupby("n_name")
         .aggregate(Sum("o_totalprice", alias_name="revenue"),
                    Count(alias_name="n_orders"))
     )
     return _int_encode(_to_table(out), {"revenue": 2})
+
+
+def q_revenue_by_nation(sf_dir: str):
+    return revenue_by_nation_pipeline(sf_dir)
 
 
 SQL_REVENUE_BY_NATION = """
@@ -617,10 +671,56 @@ def q_quality_scores(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = docs.map_batches(QualityScoreStage, batch_format="pyarrow",
                            zero_copy_batch=True, concurrency=2)
-    return out.select_columns(
+    tbl = _to_table(out.select_columns(
         ["doc_id", "n_chars_text", "n_tokens", "alpha_ratio", "digit_ratio",
          "punct_ratio", "stopword_ratio", "quality_score"]
-    )
+    ))
+    return _round_cols(tbl, {"alpha_ratio": 6, "digit_ratio": 6,
+                             "punct_ratio": 6, "stopword_ratio": 6,
+                             "quality_score": 6})
+
+
+def _stopword_alt() -> str:
+    """The exact stopword alternation QualityScoreStage compiles — shared
+    with the SQL twins so both sides count the same matches."""
+    from ..stages.textstats import _STOPWORDS
+
+    words = sorted({w for ws in _STOPWORDS.values() for w in ws})
+    return "|".join(words)
+
+
+# pure arithmetic over regex match counts — fully SQL-expressible; the
+# formula mirrors QualityScoreStage term by term (same nesting, both sides
+# rounded to 6dp)
+SQL_QUALITY_SCORES = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS safe_chars,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tok,
+         GREATEST(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0)
+             AS safe_tok,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digit,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+         CAST(len(regexp_extract_all(text,
+              '(?i)\\b(?:{ALT})\\b')) AS DOUBLE) AS stop
+  FROM documents)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars_text,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       ROUND(alpha / safe_chars, 6) AS alpha_ratio,
+       ROUND(digit / safe_chars, 6) AS digit_ratio,
+       ROUND(punct / safe_chars, 6) AS punct_ratio,
+       ROUND(stop / safe_tok, 6) AS stopword_ratio,
+       ROUND(GREATEST(LEAST(
+           (alpha / safe_chars) * 0.5
+           + (LEAST(stop / safe_tok, 0.5) * 0.8
+              + (0.2 - ((digit / safe_chars) * 0.3
+                        + (punct / safe_chars) * 0.3))),
+           1.0), 0.0), 6) AS quality_score
+FROM c
+""".replace("{ALT}", _stopword_alt())
 
 
 def q_lang_id(sf_dir: str):
@@ -630,6 +730,38 @@ def q_lang_id(sf_dir: str):
                             concurrency=2).select_columns(
         ["doc_id", "lang", "lang_pred"]
     )
+
+
+def _lang_id_sql() -> str:
+    """SQL twin of LangIdStage: per-language stopword-hit counts, argmax
+    with the same tie-break (first language in sorted order wins)."""
+    from ..stages.textstats import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(text, "
+        f"'(?i)\\b(?:{'|'.join(_STOPWORDS[lang])})\\b')) AS s_{lang}"
+        for lang in langs)
+    branches = []
+    for i, lang in enumerate(langs):
+        later = langs[i + 1:]
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in later) or "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    all_cols = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {counts}
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN GREATEST({all_cols}) = 0 THEN 'other'
+            {' '.join(branches)}
+            END AS lang_pred
+FROM s
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
 
 
 def q_fingerprints(sf_dir: str):
@@ -875,10 +1007,11 @@ FROM a JOIN b ON b.doc_id = a.doc_id + 12
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (LSH bucket + exact cosine
     verify). The base table has no near-dups (max pairwise cosine ~0.51 at
-    sf0.01), so the query unions in deterministic perturbed copies of the
-    first 10 vectors (id + 10_000_000) — the operator must recover exactly
-    those planted pairs. Approximate by design (bucket recall < 1) ->
-    rows-only check."""
+    sf0.01), so the query unions in EXACT copies of the first 10 vectors
+    (id + 10_000_000) — the operator must recover exactly those planted
+    pairs with cosine 1.0, which a SQL oracle can state directly (exact
+    copies always share an LSH home bucket, so recall is deterministic;
+    perturbed near-dup recall is pinned in pytest instead)."""
     import pyarrow.parquet as pq
 
     from ..stages.similarity import embedding_neardup
@@ -887,16 +1020,19 @@ def q_embedding_neardup(sf_dir: str):
     base = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
     sub = base.filter(pc.less(base["vec_id"], 10))
-    m = np.array(sub["embedding"].to_pylist(), dtype=np.float32)
-    rng = np.random.Generator(np.random.PCG64(7))
-    m = m + 0.01 * rng.standard_normal(m.shape).astype(np.float32)
     dup = pa.table({
         "vec_id": pc.add(sub["vec_id"], pa.scalar(10_000_000, pa.int64())),
-        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+        "embedding": sub["embedding"],
     })
     both = emb.union(_rd().from_arrow(dup))
     out = embedding_neardup(both, threshold=0.95, n_bits=6)
     return _round_cols(out, {"cosine": 6})
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT vec_id AS a, vec_id + 10000000 AS b, 1.0 AS cosine
+FROM embeddings WHERE vec_id < 10
+"""
 
 
 def q_user_sessions(sf_dir: str):
@@ -1066,6 +1202,9 @@ ORACLE_SQL = {
     "events_hourly_window": SQL_EVENTS_HOURLY_WINDOW,
     "exact_dedup": SQL_EXACT_DEDUP,
     "token_counts": SQL_TOKEN_COUNTS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "lang_id": SQL_LANG_ID,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_topk": SQL_ANN_TOPK,
     "reserialize_rows": SQL_RESERIALIZE_ROWS,
     "extract_json_field": SQL_EXTRACT_JSON_FIELD,
@@ -1076,7 +1215,8 @@ ORACLE_SQL = {
     "user_sessions": SQL_USER_SESSIONS,
     "asof_prior_view": SQL_ASOF_PRIOR_VIEW,
     "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
-    # rows-only (non-SQL-expressible): generate_rows, quality_scores,
-    # lang_id, fingerprints, minhash_dedup, simhash_pairs, ann_lsh,
-    # multimodal_features, embedding_neardup
+    # rows-only (non-SQL-expressible): generate_rows (seeded numpy,
+    # pinned-hash pytest instead), fingerprints (SipHash), minhash_dedup /
+    # simhash_pairs (signature hashing), ann_lsh (approximate recall),
+    # multimodal_features (stubbed decode)
 }

@@ -26,12 +26,46 @@ from ..functions.hashing import stable_hash64
 _SIDE_COL = "_join_side"
 _BUCKET_COL = "_join_bucket"
 
+#: default byte budget for a broadcast side: it must fit comfortably in a
+#: worker heap next to the batch being processed
+DEFAULT_BROADCAST_BUDGET = 256 * 1024 * 1024
+
+
+def check_broadcast_budget(nbytes: int, *, what: str = "lookup table",
+                           max_broadcast_bytes: int = DEFAULT_BROADCAST_BUDGET
+                           ) -> bool:
+    """-> True if ``nbytes`` fits the broadcast budget; False otherwise.
+    Callers fall back to ``bucket_join`` (or Ray's hash join) when it
+    doesn't — broadcasting an unbounded dimension side is how 'small side'
+    joins melt at 100 TB."""
+    return nbytes <= max_broadcast_bytes
+
+
+def parquet_projected_bytes(path: str, columns: list[str] | None = None) -> int:
+    """Uncompressed byte estimate of a parquet projection, from metadata
+    only (no data read) — the cheap input to ``check_broadcast_budget``."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    want = set(columns) if columns is not None else None
+    total = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema.split(".")[0]
+            if want is None or name in want:
+                total += c.total_uncompressed_size
+    return total
+
 
 def broadcast_lookup(ds, lookup_ref, key_col: str, value_cols: dict[str, str]):
     """Attach columns from a broadcast (sorted-key) lookup table.
 
     ``lookup_ref``: ``ray.put((sorted_keys: np.ndarray, {out_name: values
     np.ndarray}))``; rows whose key is absent get nulls (left join).
+    The caller sizes the lookup against ``check_broadcast_budget`` before
+    ``ray.put`` and switches to ``bucket_join`` when it doesn't fit.
     """
     import ray
 

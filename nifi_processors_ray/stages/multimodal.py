@@ -102,20 +102,39 @@ class FrameSampleStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        k = self.k
         ids = np.asarray(batch["media_id"])
-        payloads = batch["payload"].to_pylist()
-        out_ids = np.repeat(ids, self.k)
-        out_idx = np.tile(np.arange(self.k, dtype=np.int64), n)
-        # fake frame = a deterministic slice of the payload
-        frames = [
-            p[(i * 16) % max(1, len(p) - 16) : (i * 16) % max(1, len(p) - 16) + 16]
-            for p in payloads
-            for i in range(self.k)
-        ]
+        pay = batch["payload"]
+        if isinstance(pay, pa.ChunkedArray):
+            pay = pay.combine_chunks()
+        # fake frame = a deterministic 16-byte slice of the payload —
+        # computed with ONE numpy gather over the flat value buffer (no
+        # Python loop over rows/payload bytes)
+        off = np.frombuffer(pay.buffers()[1], dtype=np.int32)[
+            pay.offset : pay.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(pay.buffers()[2], dtype=np.uint8)
+        lens = off[1:] - off[:-1]
+        row = np.repeat(np.arange(n, dtype=np.int64), k)
+        i_idx = np.tile(np.arange(k, dtype=np.int64), n)
+        base = np.maximum(1, lens - 16)
+        s = (i_idx * 16) % base[row]
+        frame_len = np.minimum(16, lens[row] - s)
+        abs_start = off[:-1][row] + s
+        total = int(frame_len.sum())
+        out_off = np.zeros(n * k + 1, dtype=np.int32)
+        np.cumsum(frame_len, out=out_off[1:])
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(out_off[:-1].astype(np.int64), frame_len)
+               + np.repeat(abs_start, frame_len))
+        frames = pa.Array.from_buffers(
+            pa.binary(), n * k,
+            [None, pa.py_buffer(out_off.tobytes()),
+             pa.py_buffer(data[pos].tobytes())],
+        )
         return pa.table(
             {
-                "media_id": pa.array(out_ids),
-                "frame_idx": pa.array(out_idx),
-                "frame_payload": pa.array(frames, pa.binary()),
+                "media_id": pa.array(np.repeat(ids, k)),
+                "frame_idx": pa.array(i_idx),
+                "frame_payload": frames,
             }
         )

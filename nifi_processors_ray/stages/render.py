@@ -18,21 +18,41 @@ Unresolvable placeholders render as the empty string (the reference routes a
 template failure to empty content, MergeTemplate.java:267-272; per-row we
 degrade to "" instead of failing the batch). Columns whose name does not
 match ``attribute_filter`` are invisible to the template.
+
+Velocity directives (MergeTemplate merges full Velocity,
+MergeTemplate.java:57-59,261): the vectorizable subset is supported —
+``#if(cond) ... #elseif(cond) ... #else ... #end`` (conditions: ``$ref``,
+``!$ref``, ``$ref OP literal-or-$ref`` with OP in ``== != > >= < <=``) and
+``#set($var = "literal" | number | $ref)``. Each branch body renders
+vectorized and rows select via ``pc.if_else`` — still no per-row Python.
+Any OTHER directive (``#foreach``, ``#macro``, ``#include``, ``#parse``,
+``#evaluate``, ...) raises ``ValueError("unsupported Velocity directive")``
+at template-compile time — a loud rejection, never silently rendering the
+directive text as a literal. Deviation from Velocity proper: ``#set``
+inside an ``#if`` branch is branch-local (bodies evaluate vectorized for
+every row, so a conditional global assignment has no single per-row value).
 """
 
 from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 # $name or ${name} — Velocity-style references (identifier chars only)
 _PLACEHOLDER = re.compile(r"\$(?:\{([A-Za-z_][\w.-]*)\}|([A-Za-z_][\w]*))")
+_DIRECTIVE = re.compile(r"#(\w+)")
+_SUPPORTED_DIRECTIVES = {"if", "elseif", "else", "end", "set"}
+_COND = re.compile(
+    r"^\s*(!)?\s*\$\{?([A-Za-z_][\w.-]*)\}?\s*"
+    r"(?:(==|!=|>=|<=|>|<)\s*(.+?))?\s*$")
+_SET = re.compile(r"^\s*\$\{?([A-Za-z_][\w.-]*)\}?\s*=\s*(.+?)\s*$")
 
 
 def parse_template(template: str) -> list[tuple[str, str]]:
-    """-> [('lit', text) | ('field', name), ...]"""
+    """-> [('lit', text) | ('field', name), ...] (no directives)."""
     out: list[tuple[str, str]] = []
     pos = 0
     for m in _PLACEHOLDER.finditer(template):
@@ -43,6 +63,83 @@ def parse_template(template: str) -> list[tuple[str, str]]:
     if pos < len(template):
         out.append(("lit", template[pos:]))
     return out
+
+
+def _paren_arg(template: str, start: int) -> tuple[str, int]:
+    """Extract '(...)' starting at ``start`` -> (inner text, end index)."""
+    if start >= len(template) or template[start] != "(":
+        raise ValueError("Velocity directive missing '(' argument")
+    depth, i = 0, start
+    while i < len(template):
+        if template[i] == "(":
+            depth += 1
+        elif template[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return template[start + 1 : i], i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in Velocity directive")
+
+
+def compile_template(template: str) -> list[tuple]:
+    """Template -> AST of ('lit', s) / ('field', name) /
+    ('set', var, rhs) / ('if', [(cond, body), ...], else_body) nodes.
+    Raises on any unsupported directive."""
+    tokens: list[tuple] = []  # flat stream of text pieces + directive marks
+    pos = 0
+    for m in _DIRECTIVE.finditer(template):
+        name = m.group(1)
+        if name not in _SUPPORTED_DIRECTIVES:
+            raise ValueError(
+                f"unsupported Velocity directive #{name} — supported subset: "
+                f"{sorted('#' + d for d in _SUPPORTED_DIRECTIVES)}")
+        if m.start() > pos:
+            tokens.extend(parse_template(template[pos : m.start()]))
+        if name in ("if", "elseif", "set"):
+            arg, end = _paren_arg(template, m.end())
+            tokens.append(("#" + name, arg))
+            pos = end
+        else:
+            tokens.append(("#" + name, None))
+            pos = m.end()
+    if pos < len(template):
+        tokens.extend(parse_template(template[pos:]))
+
+    def build(i: int, until: set[str]) -> tuple[list[tuple], int, str | None]:
+        nodes: list[tuple] = []
+        while i < len(tokens):
+            kind = tokens[i][0]
+            if kind in until:
+                return nodes, i + 1, kind
+            if kind == "#if":
+                branches = [(tokens[i][1], None)]
+                body, i, stop = build(i + 1, {"#elseif", "#else", "#end"})
+                branches[0] = (branches[0][0], body)
+                else_body: list[tuple] = []
+                while stop == "#elseif":
+                    cond = tokens[i - 1][1]
+                    body, i, stop = build(i, {"#elseif", "#else", "#end"})
+                    branches.append((cond, body))
+                if stop == "#else":
+                    else_body, i, stop = build(i, {"#end"})
+                if stop != "#end":
+                    raise ValueError("#if without matching #end")
+                nodes.append(("if", branches, else_body))
+            elif kind == "#set":
+                m2 = _SET.match(tokens[i][1])
+                if not m2:
+                    raise ValueError(f"unsupported #set form: {tokens[i][1]!r}")
+                nodes.append(("set", m2.group(1), m2.group(2)))
+                i += 1
+            elif kind in ("#elseif", "#else", "#end"):
+                raise ValueError(f"{kind} without matching #if")
+            else:
+                nodes.append(tokens[i])
+                i += 1
+        return nodes, i, None
+
+    nodes, i, stop = build(0, set())
+    return nodes
 
 
 class RenderTemplateStage:
@@ -58,40 +155,127 @@ class RenderTemplateStage:
         strip_newlines: bool = True,
         keep_input_cols: bool = True,
     ):
-        self.segments = parse_template(template)
+        self.segments = compile_template(template)
         self.filter = re.compile(attribute_filter)
         self.output_col = output_col
         self.strip_newlines = strip_newlines
         self.keep_input_cols = keep_input_cols
 
+    # -- per-batch evaluation helpers (all vectorized) ----------------------
+
+    def _resolve(self, name: str, batch: pa.Table, visible: set,
+                 vars: dict, *, raw: bool = False):
+        """Field/variable -> Arrow array (string-cast unless raw)."""
+        if name in vars:
+            col = vars[name]
+        elif name in visible:
+            col = batch[name]
+        else:
+            return None
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if raw:
+            return col
+        if not (pa.types.is_string(col.type)
+                or pa.types.is_large_string(col.type)):
+            col = pc.cast(col, pa.string())
+        if self.strip_newlines:
+            col = pc.replace_substring(col, "\r", "")
+            col = pc.replace_substring(col, "\n", "")
+        return col.fill_null("")
+
+    def _rhs_value(self, rhs: str, batch: pa.Table, visible: set, vars: dict,
+                   n: int):
+        """#set / condition right-hand side -> Arrow array or scalar."""
+        rhs = rhs.strip()
+        if (len(rhs) >= 2 and rhs[0] == rhs[-1] and rhs[0] in "\"'"):
+            return pa.scalar(rhs[1:-1], pa.string())
+        m = _PLACEHOLDER.fullmatch(rhs)
+        if m:
+            col = self._resolve(m.group(1) or m.group(2), batch, visible,
+                                vars, raw=True)
+            return col if col is not None else pa.nulls(n, pa.string())
+        try:
+            return pa.scalar(float(rhs), pa.float64())
+        except ValueError:
+            raise ValueError(f"unsupported Velocity expression: {rhs!r}")
+
+    def _eval_cond(self, cond: str, batch: pa.Table, visible: set,
+                   vars: dict, n: int) -> np.ndarray:
+        m = _COND.match(cond)
+        if not m:
+            raise ValueError(f"unsupported Velocity condition: {cond!r}")
+        negate, name, op, rhs = m.groups()
+        col = self._resolve(name, batch, visible, vars, raw=True)
+        if col is None:
+            mask = np.zeros(n, dtype=bool)  # unknown ref -> false
+        elif op is None:
+            # Velocity truth: non-null is true; a boolean is its value
+            if pa.types.is_boolean(col.type):
+                mask = np.asarray(col.fill_null(False))
+            else:
+                mask = np.asarray(pc.is_valid(col))
+        else:
+            rv = self._rhs_value(rhs, batch, visible, vars, n)
+            is_num = (isinstance(rv, pa.Scalar)
+                      and pa.types.is_floating(rv.type)) or (
+                not isinstance(rv, pa.Scalar)
+                and (pa.types.is_integer(rv.type)
+                     or pa.types.is_floating(rv.type)))
+            lhs = col
+            if is_num and not (pa.types.is_integer(lhs.type)
+                               or pa.types.is_floating(lhs.type)):
+                lhs = pc.cast(lhs, pa.float64(), safe=False)
+            kern = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
+                    ">=": pc.greater_equal, "<": pc.less,
+                    "<=": pc.less_equal}[op]
+            res = kern(lhs, rv)
+            if isinstance(res, pa.ChunkedArray):
+                res = res.combine_chunks()
+            mask = np.asarray(res.fill_null(False))
+        return ~mask if negate else mask
+
+    def _render_nodes(self, nodes: list, batch: pa.Table, visible: set,
+                      vars: dict, n: int) -> pa.Array:
+        parts = []
+        for node in nodes:
+            kind = node[0]
+            if kind == "lit":
+                parts.append(pa.scalar(node[1], pa.string()))
+            elif kind == "field":
+                col = self._resolve(node[1], batch, visible, vars)
+                parts.append(col if col is not None
+                             else pa.scalar("", pa.string()))
+            elif kind == "set":
+                val = self._rhs_value(node[2], batch, visible, vars, n)
+                if isinstance(val, pa.Scalar):
+                    val = pa.nulls(n, val.type).fill_null(val)
+                vars[node[1]] = val
+            elif kind == "if":
+                rendered = self._render_nodes(node[2], batch, visible,
+                                              dict(vars), n)  # else body
+                for cond, body in reversed(node[1]):
+                    mask = pa.array(
+                        self._eval_cond(cond, batch, visible, vars, n))
+                    branch = self._render_nodes(body, batch, visible,
+                                                dict(vars), n)
+                    rendered = pc.if_else(mask, branch, rendered)
+                parts.append(rendered)
+            else:
+                raise ValueError(f"unexpected template node {kind!r}")
+        if not parts:
+            return pa.nulls(n, pa.string()).fill_null("")
+        rendered = pc.binary_join_element_wise(*parts, "")
+        if isinstance(rendered, pa.Scalar):  # all-literal template
+            rendered = pa.nulls(n, pa.string()).fill_null(rendered)
+        if isinstance(rendered, pa.ChunkedArray):
+            rendered = rendered.combine_chunks()
+        return rendered
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         visible = {c for c in batch.column_names if self.filter.fullmatch(c)}
-        parts = []
-        for kind, val in self.segments:
-            if kind == "lit":
-                parts.append(pa.scalar(val, pa.string()))
-            else:
-                if val in visible:
-                    col = batch[val]
-                    if not pa.types.is_string(col.type) and not pa.types.is_large_string(
-                        col.type
-                    ):
-                        col = pc.cast(col, pa.string())
-                    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-                    if self.strip_newlines:
-                        col = pc.replace_substring(col, "\r", "")
-                        col = pc.replace_substring(col, "\n", "")
-                    # null attribute -> empty string (degrade, don't fail)
-                    parts.append(col.fill_null(""))
-                else:
-                    parts.append(pa.scalar("", pa.string()))
-        if parts:
-            rendered = pc.binary_join_element_wise(*parts, "")
-        else:
-            rendered = pa.nulls(n, pa.string()).fill_null("")
-        if isinstance(rendered, pa.Scalar):  # all-literal template
-            rendered = pa.array([rendered.as_py()] * n, pa.string())
+        rendered = self._render_nodes(self.segments, batch, visible, {}, n)
         if not self.keep_input_cols:
             return pa.table({self.output_col: rendered})
         out = batch

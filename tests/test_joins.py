@@ -32,3 +32,14 @@ def test_broadcast_lookup_left_join_semantics():
     ds = rd.from_arrow(pa.table({"k": pa.array([5, 2, 9, 1], pa.int64())}))
     out = broadcast_lookup(ds, ref, "k", {"name": "name"}).to_pandas()
     assert out.sort_values("k")["name"].tolist() == ["a", None, "b", "c"]
+
+
+def test_revenue_by_nation_bucket_fallback_matches_broadcast():
+    """A zero broadcast budget forces the bucket_join fallback; the
+    aggregate must equal the broadcast-lookup path."""
+    from nifi_processors_ray.pipelines.registry import revenue_by_nation_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    want = revenue_by_nation_pipeline(sf).sort_by("n_name")
+    got = revenue_by_nation_pipeline(sf, max_broadcast_bytes=0).sort_by("n_name")
+    assert got.equals(want)

@@ -79,3 +79,71 @@ def test_generate_rows_dataset_and_csv_content():
     direct = RowLayout(LAYOUT, seed=9)
     expect = direct.as_csv_rows(direct.generate(0, 40), ";").to_pylist()
     assert sorted(r["content"] for r in rows) == sorted(expect)
+
+
+def test_generate_rows_pinned_fixture_hash():
+    """The registry's generate_rows query is seeded -> its full output is
+    pinned by content hash (the no-SQL-oracle stand-in: any change to the
+    generator's determinism breaks this)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from nifi_processors_ray.pipelines.registry import q_generate_rows
+
+    out = q_generate_rows("unused")
+    tbl = out if isinstance(out, pa.Table) else pa.table(out.to_pandas())
+    tbl = tbl.sort_by("id")
+    digest = hashlib.sha256()
+    for col in sorted(tbl.column_names):
+        digest.update(col.encode())
+        for v in tbl[col].to_pylist():
+            digest.update(str(v).encode())
+    assert tbl.num_rows == 1000
+    assert digest.hexdigest() == (
+        "7d650102ed8f801135b62efde36d43ae4f0fdd56c2d7ee399a1fa31667ec7e62")
+
+
+def test_velocity_if_else_directives():
+    from nifi_processors_ray.stages.render import RenderTemplateStage
+
+    t = pa.table({"lang": ["en", "de", "fr", None],
+                  "n": [5, 50, 500, 5000]})
+    stage = RenderTemplateStage(
+        "#if($lang == \"en\")english#elseif($lang == \"de\")german"
+        "#else other#end:$n",
+        output_col="content", keep_input_cols=False)
+    out = stage(t)
+    assert out["content"].to_pylist() == [
+        "english:5", "german:50", " other:500", " other:5000"]
+
+
+def test_velocity_numeric_condition_and_set():
+    from nifi_processors_ray.stages.render import RenderTemplateStage
+
+    t = pa.table({"n": ["5", "50", "500"]})
+    stage = RenderTemplateStage(
+        "#set($label = \"big\")#if($n < 100)small#else$label#end",
+        output_col="content", keep_input_cols=False)
+    out = stage(t)
+    assert out["content"].to_pylist() == ["small", "small", "big"]
+
+
+def test_velocity_truthiness_and_negation():
+    from nifi_processors_ray.stages.render import RenderTemplateStage
+
+    t = pa.table({"x": ["a", None]})
+    stage = RenderTemplateStage("#if($x)has#end|#if(!$x)none#end",
+                                output_col="content", keep_input_cols=False)
+    assert stage(t)["content"].to_pylist() == ["has|", "|none"]
+
+
+def test_velocity_unsupported_directive_raises():
+    import pytest as _pytest
+
+    from nifi_processors_ray.stages.render import RenderTemplateStage
+
+    with _pytest.raises(ValueError, match="unsupported Velocity directive"):
+        RenderTemplateStage("#foreach($x in $list)$x#end")
+    with _pytest.raises(ValueError, match="without matching"):
+        RenderTemplateStage("#if($x)unclosed")
