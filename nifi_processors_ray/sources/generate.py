@@ -162,3 +162,69 @@ def generate_rows(n: int, fields: list[dict], *, seed: int = 42,
 
     return rd.range(n, **kwargs).map_batches(gen, batch_format="pyarrow",
                                              zero_copy_batch=True)
+
+
+def load_rowlayout(xml_path: str, *, wordlists_dir: str | None = None,
+                   min_year: int | None = None,
+                   max_year: int | None = None) -> list[dict]:
+    """Parse a datagenerator rowlayout XML + ``.category`` word-list files
+    into the field-spec list ``generate_rows`` consumes.
+
+    The reference points its DataCreator at a rowlayout XML and a folder of
+    ``*.category`` files (one word per line; GenerateData.java:163-175,
+    docs ``GenerateData/additionalDetails.html``). Field elements are
+    mapped by their ``type`` attribute:
+
+    * ``category`` / ``wordlist`` — words loaded from
+      ``<wordlists_dir>/<category>.category``;
+    * ``regularexpression`` / ``regex`` / ``pattern`` — the ``pattern``
+      attribute (same subset as the ``pattern`` kind);
+    * ``random`` — pure random token (``length`` attr, default 8);
+    * ``datetime`` / ``date`` — random date; ``min_year``/``max_year``
+      arguments mirror the processor's Minimum/Maximum Year properties
+      (GenerateData.java:118-132) and fall back to per-field attributes;
+    * ``sequence`` — monotonically increasing id.
+
+    Unknown types raise (loudly, at load time)."""
+    import os
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(xml_path).getroot()
+    fields: list[dict] = []
+    for i, el in enumerate(root.iter("field")):
+        ftype = (el.get("type") or "").strip().lower()
+        name = el.get("name") or el.get("id") or f"field_{i}"
+        if ftype in ("category", "wordlist"):
+            category = el.get("category") or name
+            if wordlists_dir is None:
+                raise ValueError(
+                    f"field {name!r} needs a word list but no wordlists_dir "
+                    "was given")
+            path = os.path.join(wordlists_dir, f"{category}.category")
+            with open(path, encoding="utf-8") as f:
+                words = [w.strip() for w in f if w.strip()]
+            if not words:
+                raise ValueError(f"empty category file: {path}")
+            fields.append({"name": name, "kind": "wordlist", "words": words})
+        elif ftype in ("regularexpression", "regex", "pattern"):
+            fields.append({"name": name, "kind": "pattern",
+                           "pattern": el.get("pattern") or el.text or ""})
+        elif ftype == "random":
+            fields.append({"name": name, "kind": "random",
+                           "length": int(el.get("length") or 8)})
+        elif ftype in ("datetime", "date"):
+            fields.append({
+                "name": name, "kind": "date",
+                "min_year": int(min_year if min_year is not None
+                                else el.get("min_year") or 2000),
+                "max_year": int(max_year if max_year is not None
+                                else el.get("max_year") or 2099),
+            })
+        elif ftype == "sequence":
+            fields.append({"name": name, "kind": "sequence"})
+        else:
+            raise ValueError(
+                f"unsupported rowlayout field type {ftype!r} (field {name!r})")
+    if not fields:
+        raise ValueError(f"no <field> elements found in {xml_path!r}")
+    return fields

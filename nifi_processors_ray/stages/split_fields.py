@@ -10,8 +10,10 @@ single vectorized ``pyarrow.compute.split_pattern`` producing a list array,
 and each positional element becomes a real typed column. Deviations from the
 reference, pinned deliberately (SURVEY.md §2.3):
 
-* separators are LITERAL strings, not regexes (the reference's
+* separators are LITERAL strings by default (the reference's
   ``String.split`` regex semantics are an accident of the Java API);
+  inputs that relied on them opt in with ``separator_is_regex=True``
+  (RE2 syntax via ``pc.split_pattern_regex`` — SplitToAttribute.java:177);
 * blank fields become NULL columns instead of being silently skipped (the
   reference's skip leaks stale attributes across rows);
 * trailing empty fields are preserved.
@@ -40,6 +42,7 @@ def split_fields(
     blank_is_null: bool = True,
     strip_newlines: bool = True,
     keep_content: bool = False,
+    separator_is_regex: bool = False,
 ) -> pa.Table:
     """Split ``content_col`` into positional columns ``prefix0000..``.
 
@@ -52,7 +55,10 @@ def split_fields(
     if strip_newlines:
         content = pc.replace_substring(content, "\r", "")
         content = pc.replace_substring(content, "\n", "")
-    parts = pc.split_pattern(content, separator)
+    if separator_is_regex:
+        parts = pc.split_pattern_regex(content, separator)
+    else:
+        parts = pc.split_pattern(content, separator)
     if num_fields is None:
         n = pc.max(pc.list_value_length(parts)).as_py() or 0
     else:

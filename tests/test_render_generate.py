@@ -147,3 +147,39 @@ def test_velocity_unsupported_directive_raises():
         RenderTemplateStage("#foreach($x in $list)$x#end")
     with _pytest.raises(ValueError, match="without matching"):
         RenderTemplateStage("#if($x)unclosed")
+
+
+def test_rowlayout_xml_and_category_files(tmp_path):
+    """Rowlayout XML + *.category word lists load into the generator spec
+    (GenerateData.java:163-175 analog)."""
+    import pytest as _pytest
+
+    from nifi_processors_ray.sources.generate import (generate_rows,
+                                                      load_rowlayout)
+
+    (tmp_path / "seasons.category").write_text("spring\nsummer\nautumn\nwinter\n")
+    xml = tmp_path / "rowlayout.xml"
+    xml.write_text("""<rowlayout>
+      <field name="id" type="sequence"/>
+      <field name="season" type="category" category="seasons"/>
+      <field name="code" type="regularexpression" pattern="[A-Z]{2}[0-9]{2}"/>
+      <field name="token" type="random" length="6"/>
+      <field name="d" type="datetime"/>
+    </rowlayout>""")
+    fields = load_rowlayout(str(xml), wordlists_dir=str(tmp_path),
+                            min_year=2010, max_year=2012)
+    out = pa.table(generate_rows(50, fields, seed=9, num_blocks=2).to_pandas())
+    assert out.num_rows == 50
+    assert set(out["season"].to_pylist()) <= {"spring", "summer", "autumn", "winter"}
+    assert all(len(t) == 6 for t in out["token"].to_pylist())
+    import re as _re
+    assert all(_re.fullmatch(r"[A-Z]{2}[0-9]{2}", c) for c in out["code"].to_pylist())
+    assert all(2010 <= int(d[:4]) <= 2012 for d in out["d"].to_pylist())
+    # determinism: same seed -> identical table
+    again = pa.table(generate_rows(50, fields, seed=9, num_blocks=5).to_pandas())
+    assert out.sort_by("id").equals(again.sort_by("id"))
+
+    bad = tmp_path / "bad.xml"
+    bad.write_text('<rowlayout><field name="x" type="gaussian"/></rowlayout>')
+    with _pytest.raises(ValueError, match="unsupported rowlayout field type"):
+        load_rowlayout(str(bad))

@@ -42,3 +42,21 @@ def test_stage_on_dataset():
     tbl = out.to_arrow_refs()
     assert out.count() == 100
     assert set(out.schema().names) == {"column_0000", "column_0001"}
+
+
+def test_regex_separator_opt_in():
+    """separator_is_regex=True restores the reference's String.split regex
+    semantics (SplitToAttribute.java:177) for inputs that relied on them."""
+    import pyarrow as pa
+
+    from nifi_processors_ray.stages.split_fields import split_fields
+
+    t = pa.table({"content": ["a;b,c", "x;;y"]})
+    out = split_fields(t, separator="[;,]", separator_is_regex=True,
+                       num_fields=3)
+    assert out["column_0000"].to_pylist() == ["a", "x"]
+    assert out["column_0001"].to_pylist() == ["b", None]
+    assert out["column_0002"].to_pylist() == ["c", "y"]
+    # literal mode treats the same separator as plain text
+    lit = split_fields(t, separator="[;,]", num_fields=2)
+    assert lit["column_0000"].to_pylist() == ["a;b,c", "x;;y"]
