@@ -840,6 +840,24 @@ def q_ann_lsh(sf_dir: str):
     return _round_cols(out, {"score": 6})
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (k-means sibling of ann_lsh): sample-trained
+    centroids, distributed assignment filter, exact top-k over the probed
+    lists. Approximate by design (nprobe/n_centroids recall) -> rows-only."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import _to_matrix, ivf_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    qtbl = qtbl.filter(pc.is_in(qtbl["vec_id"], value_set=pa.array([0])))
+    out = ivf_topk(emb, np.asarray(qtbl["vec_id"]),
+                   _to_matrix(qtbl["embedding"]), k=5, n_centroids=32,
+                   nprobe=8)
+    return _round_cols(out, {"score": 6})
+
+
 def q_multimodal_features(sf_dir: str):
     """Media plumbing (decode STUBBED, Ray wiring real): synth binary table
     -> actor-pool feature stage -> frame sampling explosion."""
@@ -1035,6 +1053,26 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def q_sliding_window(sf_dir: str):
+    """2h windows sliding by 1h over events: each event feeds 2 windows
+    (vectorized explode + one groupby)."""
+    from ..stages.windows import sliding_window_agg
+
+    events = _read(sf_dir, "events", columns=["ts", "value"])
+    out = sliding_window_agg(events, ts_col="ts", value_col="value",
+                             window_seconds=7200, slide_seconds=3600)
+    return _int_encode(_to_table(out), {"sum_value": 2})
+
+
+SQL_SLIDING_WINDOW = """
+SELECT (CAST(floor(epoch(ts) / 3600) AS BIGINT) - g.i) * 3600 AS window_start,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value
+FROM events CROSS JOIN (SELECT unnest(range(2)) AS i) g
+GROUP BY 1
+"""
+
+
 def q_user_sessions(sf_dir: str):
     """Gap-based sessionization (30-min gap) -> one row per session."""
     from ..stages.windows import session_stats
@@ -1172,6 +1210,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
     "reserialize_rows": q_reserialize_rows,
     "extract_json_field": q_extract_json_field,
@@ -1180,6 +1219,7 @@ QUERIES = {
     "quarantine_route": q_quarantine_route,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
+    "sliding_window": q_sliding_window,
     "user_sessions": q_user_sessions,
     "asof_prior_view": q_asof_prior_view,
     "top3_orders_per_priority": q_top3_orders_per_priority,
@@ -1212,11 +1252,12 @@ ORACLE_SQL = {
     "distinct_langs": SQL_DISTINCT_LANGS,
     "quarantine_route": SQL_QUARANTINE_ROUTE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "sliding_window": SQL_SLIDING_WINDOW,
     "user_sessions": SQL_USER_SESSIONS,
     "asof_prior_view": SQL_ASOF_PRIOR_VIEW,
     "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
     # rows-only (non-SQL-expressible): generate_rows (seeded numpy,
     # pinned-hash pytest instead), fingerprints (SipHash), minhash_dedup /
-    # simhash_pairs (signature hashing), ann_lsh (approximate recall),
+    # simhash_pairs (signature hashing), ann_lsh / ann_ivf (approximate recall),
     # multimodal_features (stubbed decode)
 }

@@ -375,3 +375,67 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
         "b": pa.array(uniq[:, 1]),
         "cosine": pa.array(np.asarray(tbl["cosine"])[uidx], pa.float64()),
     })
+
+
+def train_ivf_centroids(ds, *, vec_col: str = "embedding",
+                        n_centroids: int = 64, sample_rows: int = 65536,
+                        n_iters: int = 10, seed: int = 33) -> np.ndarray:
+    """Train an IVF coarse quantizer: spherical k-means on a bounded sample.
+
+    Sampling is a streaming per-batch slice (the first rows of each batch
+    up to a per-batch budget) — no full materialization; the k-means itself
+    runs driver-side over <= ``sample_rows`` vectors (bounded, deterministic
+    seed). At 100 TB the training set is still one small sample; only the
+    ASSIGNMENT pass touches the full corpus, and that stays distributed in
+    ``ivf_topk``. Returns (n_centroids, d) L2-normalized centroids."""
+
+    def take_some(batch: pa.Table) -> pa.Table:
+        # deterministic slice; budget spread over ~expected batch count
+        return batch.slice(0, max(1, sample_rows // 64))
+
+    sampled = pa.table(
+        ds.map_batches(take_some, batch_format="pyarrow",
+                       zero_copy_batch=True).limit(sample_rows).to_pandas())
+    m = _normalize(_to_matrix(sampled[vec_col]))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    k = min(n_centroids, len(m))
+    cent = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(n_iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(ds, query_ids, query_matrix, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", k: int = 10, n_centroids: int = 64,
+             nprobe: int = 8, seed: int = 33,
+             exclude_self: bool = True) -> pa.Table:
+    """Approximate top-k via an IVF coarse quantizer (the k-means sibling of
+    ``lsh_bucket_topk``): corpus rows are assigned to their nearest centroid
+    (one matmul per batch against the broadcast centroid matrix); each query
+    probes its ``nprobe`` nearest centroids and scans only those lists —
+    ~``nprobe/n_centroids`` of the corpus. Recall < 1 by construction.
+    Same output shape as ``knn_topk``."""
+    import ray
+
+    cent = train_ivf_centroids(ds, vec_col=vec_col, n_centroids=n_centroids,
+                               seed=seed)
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probes)
+    cent_ref = ray.put((cent, wanted))
+
+    def centroid_filter(batch: pa.Table) -> pa.Table:
+        c, want = ray.get(cent_ref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        assign = (m @ c.T).argmax(axis=1)
+        return batch.filter(pa.array(np.isin(assign, want)))
+
+    candidates = ds.map_batches(centroid_filter, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return knn_topk(candidates, query_ids, query_matrix, id_col=id_col,
+                    vec_col=vec_col, k=k, exclude_self=exclude_self)

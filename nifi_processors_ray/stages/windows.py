@@ -188,3 +188,48 @@ def topk_per_group(ds, *, group_col: str, order_col: str, k: int,
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
     return partials.groupby(group_col).map_groups(final, batch_format="pyarrow")
+
+
+def sliding_window_agg(ds, *, ts_col: str = "ts", value_col: str = "value",
+                       window_seconds: int = 7200, slide_seconds: int = 3600):
+    """Sliding-window aggregate: every event lands in the
+    ``window_seconds / slide_seconds`` windows covering it (window start
+    epochs are multiples of ``slide_seconds``); per window emit
+    ``n_events`` + ``sum_value``.
+
+    Composition: a vectorized per-batch EXPLODE (each row repeated once per
+    covering window with its ``window_start``) followed by one groupby —
+    the fan-out factor is the small constant ``m``, so the shuffle carries
+    ``m × (window_start, value)`` narrow rows, never the full event
+    payload. SQL twin: CROSS JOIN range(m) with the same window arithmetic.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    if window_seconds % slide_seconds:
+        raise ValueError("window_seconds must be a multiple of slide_seconds")
+    m = window_seconds // slide_seconds
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        unit = {"s": 1, "ms": 1_000, "us": 1_000_000,
+                "ns": 1_000_000_000}[ts.type.unit]
+        epoch = np.asarray(pc.cast(ts, pa.int64())) // unit
+        base = epoch // slide_seconds
+        vals = np.asarray(batch[value_col])
+        n = len(epoch)
+        starts = ((np.repeat(base, m)
+                   - np.tile(np.arange(m, dtype=np.int64), n))
+                  * slide_seconds)
+        return pa.table({
+            "window_start": pa.array(starts),
+            value_col: pa.array(np.repeat(vals, m)),
+        })
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"),
+                   Sum(value_col, alias_name="sum_value"))
+    )

@@ -186,3 +186,28 @@ def test_minhash_dedup_join_fallback_matches_broadcast():
     got = minhash_dedup(ds, threshold=0.5, max_broadcast_docs=0)
     assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
     assert got["cluster_id"].to_pylist() == want["cluster_id"].to_pylist()
+
+
+def test_ivf_topk_finds_near_duplicate_and_bounds_scan():
+    from nifi_processors_ray.stages.similarity import ivf_topk
+
+    tbl = _embeddings(n=256)
+    m = np.stack(tbl["embedding"].to_pylist())
+    ds = rd.from_arrow(tbl)
+    out = ivf_topk(ds, [3], m[3:4], k=3, n_centroids=16, nprobe=4)
+    assert out["vec_id"].to_pylist()[0] == 7  # planted near-dup survives IVF
+    assert len(out) == 3
+    s = out["score"].to_pylist()
+    assert s == sorted(s, reverse=True)
+
+
+def test_ivf_topk_full_probe_matches_exact():
+    from nifi_processors_ray.stages.similarity import ivf_topk, knn_topk
+
+    tbl = _embeddings(n=128)
+    m = np.stack(tbl["embedding"].to_pylist())
+    ds = rd.from_arrow(tbl)
+    exact = knn_topk(ds, [0, 5], m[[0, 5]], k=5)
+    # probing every centroid scans the whole corpus -> identical to exact
+    full = ivf_topk(ds, [0, 5], m[[0, 5]], k=5, n_centroids=8, nprobe=8)
+    assert full.equals(exact)

@@ -71,3 +71,32 @@ def test_topk_per_group_matches_pandas():
     a = out.sort_values(["g", "x"]).reset_index(drop=True)
     b = want.sort_values(["g", "x"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_sliding_window_agg_covers_each_event_m_times():
+    from nifi_processors_ray.stages.windows import sliding_window_agg
+
+    secs = [0, 1800, 3600, 7199, 7200]
+    # values chosen so each window sum is distinctive
+    t = pa.table({"ts": pa.array([v * 1_000_000 for v in secs],
+                                 pa.timestamp("us")),
+                  "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0])})
+    ds = rd.from_arrow(t)
+    out = pa.table(sliding_window_agg(ds, window_seconds=7200,
+                                      slide_seconds=3600).to_pandas())
+    got = {r["window_start"]: (r["n_events"], r["sum_value"])
+           for r in out.to_pylist()}
+    # window [-3600, 3600): events at 0, 1800
+    assert got[-3600] == (2, 3.0)
+    # window [0, 7200): events 0,1800,3600,7199
+    assert got[0] == (4, 15.0)
+    # window [3600, 10800): events 3600, 7199, 7200
+    assert got[3600] == (3, 28.0)
+    # window [7200, 14400): event 7200
+    assert got[7200] == (1, 16.0)
+    # every event counted exactly m=2 times in total
+    assert sum(n for n, _ in got.values()) == 2 * 5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiple of"):
+        sliding_window_agg(ds, window_seconds=5000, slide_seconds=3600)
