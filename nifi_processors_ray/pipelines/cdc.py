@@ -81,7 +81,10 @@ def snapshot_hashes(lake: LakeTable):
             "content_sha256", pa.array(sha256_column(batch["content"]), pa.string())
         )
 
-    return lake.read().map_batches(fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+    # column-pruned merge-on-read: only keys + seq + content leave storage
+    src = lake.read(columns=key_cols + [seq_col, "content"])
+    return src.map_batches(fingerprint, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def replay_verify(lake: LakeTable, expected: pa.Table) -> bool:

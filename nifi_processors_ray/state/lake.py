@@ -310,6 +310,20 @@ class _PartitionResolver:
     frag_index: dict[int, list[tuple[str, int]]]
     drop_tombstones: bool = True
     drop_meta: bool = False
+    columns: list[str] | None = None
+
+    def _read_cols(self, available: list[str] | None = None) -> list[str] | None:
+        """Physical projection for base/delta reads: the requested output
+        columns plus everything LWW/tombstone/salt resolution needs (keys,
+        seq, op). None = read everything."""
+        if self.columns is None:
+            return None
+        need = list(dict.fromkeys(
+            list(self.columns) + list(self.key_cols) + [self.seq_col]
+            + ([self.op_col] if self.op_col else [])))
+        if available is not None:
+            need = [c for c in need if c in available]
+        return need
 
     def _salt_hash(self, t: pa.Table) -> np.ndarray:
         return hash64_columns(t, self.key_cols[-1:])
@@ -329,7 +343,7 @@ class _PartitionResolver:
             if k >= k_old:
                 p = self._base_file(bdir, pid, salt % max(1, k_old), k_old)
                 if os.path.exists(p):
-                    t = pq.read_table(p)
+                    t = self._read_parquet(p)
                     if k > k_old and t.num_rows:
                         mask = self._salt_hash(t) % np.uint64(k) == salt
                         t = t.filter(pa.array(mask))
@@ -338,10 +352,11 @@ class _PartitionResolver:
                 for s in range(salt, k_old, k):
                     p = self._base_file(bdir, pid, s, k_old)
                     if os.path.exists(p):
-                        tables.append(pq.read_table(p))
+                        tables.append(self._read_parquet(p))
         for relpath, rg in self.frag_index.get(pid, ()):
             f = pq.ParquetFile(os.path.join(self.root, "deltas", relpath))
-            t = f.read_row_group(rg)
+            t = f.read_row_group(
+                rg, columns=self._read_cols(f.schema_arrow.names))
             if k > 1 and t.num_rows:
                 mask = self._salt_hash(t) % np.uint64(k) == salt
                 t = t.filter(pa.array(mask))
@@ -352,18 +367,38 @@ class _PartitionResolver:
         if self.drop_tombstones and self.op_col and self.op_col in merged.column_names:
             merged = merged.filter(pc.not_equal(merged[self.op_col], "delete"))
         if self.schema is not None:
-            merged = concat_evolve([self.schema.empty_table(), merged])
+            merged = concat_evolve([self._aligned_schema().empty_table(),
+                                    merged])
         if self.drop_meta and self.op_col and self.op_col in merged.column_names:
             merged = merged.drop_columns([self.op_col])
+        if self.columns is not None:
+            merged = merged.select(
+                [c for c in self.columns if c in merged.column_names])
         return merged
+
+    def _aligned_schema(self) -> pa.Schema:
+        """The unification target: the full table schema, projected to the
+        physical read set when a column projection is active."""
+        if self.columns is None:
+            return self.schema
+        keep = set(self._read_cols())
+        return pa.schema([f for f in self.schema if f.name in keep])
+
+    def _read_parquet(self, path: str) -> pa.Table:
+        pf = pq.ParquetFile(path)
+        return pf.read(columns=self._read_cols(pf.schema_arrow.names))
 
     def resolve_pid(self, pid: int, base_version: int, k_old: int = 1) -> pa.Table:
         return self.resolve_sub(pid, 0, 1, base_version, k_old)
 
     def _empty(self) -> pa.Table:
-        schema = self.schema if self.schema is not None else pa.schema([])
+        schema = (self._aligned_schema() if self.schema is not None
+                  else pa.schema([]))
         if self.drop_meta and self.op_col and self.op_col in schema.names:
             schema = pa.schema([f for f in schema if f.name != self.op_col])
+        if self.columns is not None:
+            schema = pa.schema([schema.field(c) for c in self.columns
+                                if c in schema.names])
         return schema.empty_table()
 
 
@@ -550,7 +585,7 @@ class LakeTable:
         return index
 
     def _resolver(self, pending: list[int], drop_tombstones=True,
-                  drop_meta=False) -> _PartitionResolver:
+                  drop_meta=False, columns=None) -> _PartitionResolver:
         return _PartitionResolver(
             self.root,
             self.key_cols,
@@ -560,6 +595,7 @@ class LakeTable:
             self._fragment_index(pending),
             drop_tombstones=drop_tombstones,
             drop_meta=drop_meta,
+            columns=columns,
         )
 
     def _pending_state(self) -> tuple[int, list[int]]:
@@ -604,16 +640,22 @@ class LakeTable:
             plan[pid] = (k, k_old)
         return plan
 
-    def read(self, *, drop_meta: bool = True):
+    def read(self, *, drop_meta: bool = True,
+             columns: list[str] | None = None):
         """Current table state as a streaming ``ray.data.Dataset`` — one
         merge-on-read task per (pid, salt) sub-partition (see
         ``_PartitionResolver``: a hot pid fans out to k bounded tasks
-        instead of one giant one), nothing materialized on the driver."""
+        instead of one giant one), nothing materialized on the driver.
+
+        ``columns`` prunes the read at the parquet layer (only the
+        requested columns + the key/seq/op columns resolution needs leave
+        storage) — a 2-column read of a wide table no longer pays for
+        ``content``."""
         import ray.data as rd
 
         base_version, pending = self._pending_state()
         resolver = self._resolver(pending, drop_tombstones=True,
-                                  drop_meta=drop_meta)
+                                  drop_meta=drop_meta, columns=columns)
         plan = self._salt_plan(base_version, pending)
 
         def resolve(batch: pa.Table) -> pa.Table:
@@ -633,6 +675,64 @@ class LakeTable:
         ]
         subs = rd.from_items(items, override_num_blocks=len(items))
         return subs.map_batches(resolve, batch_format="pyarrow", batch_size=1)
+
+    def changes(self, *, since_epoch: int = -1,
+                epochs: list[int] | None = None,
+                columns: list[str] | None = None):
+        """Change feed: the committed (post-combiner) change rows of the
+        given epochs as a streaming Dataset with an ``_epoch`` column — the
+        incremental-consumer API (a downstream job reads only what changed
+        since its last checkpoint instead of re-scanning the table).
+
+        Defaults to all committed epochs after ``since_epoch``. Rows come
+        straight from the manifest-listed delta row groups (exactly-once:
+        orphan fragments are invisible); note a compaction GC's the
+        fragments of folded epochs, so consumers must drain the feed before
+        compacting past their checkpoint — a missing fragment raises with
+        that explanation."""
+        import ray.data as rd
+
+        eps = (list(epochs) if epochs is not None
+               else [e for e in self.committed_epochs() if e > since_epoch])
+        items = []
+        for e in eps:
+            m = self._read_manifest(f"epoch-{e}.json")
+            for fn, pids in m.get("fragments", {}).items():
+                for _pid, rg in pids.items():
+                    items.append({"file": fn, "rg": int(rg), "epoch": e})
+        schema = self.schema()
+        out_schema = (schema if schema is not None else pa.schema([])).append(
+            pa.field("_epoch", pa.int64()))
+        if columns is not None:
+            out_schema = pa.schema(
+                [out_schema.field(c) for c in list(columns) + ["_epoch"]])
+        if not items:
+            return rd.from_arrow(out_schema.empty_table())
+        root = self.root
+
+        def load(batch: pa.Table) -> pa.Table:
+            out = []
+            for fn, rg, ep in zip(batch["file"].to_pylist(),
+                                  batch["rg"].to_pylist(),
+                                  batch["epoch"].to_pylist()):
+                path = os.path.join(root, "deltas", fn)
+                if not os.path.exists(path):
+                    raise FileNotFoundError(
+                        f"delta fragment {fn} of epoch {ep} was GC'd by a "
+                        "compaction that folded the epoch — change feeds "
+                        "must be drained before compacting past their "
+                        "checkpoint")
+                f = pq.ParquetFile(path)
+                cols = (None if columns is None else
+                        [c for c in columns if c in f.schema_arrow.names])
+                t = f.read_row_group(rg, columns=cols)
+                out.append(t.append_column(
+                    "_epoch", pa.array(np.full(t.num_rows, ep, np.int64))))
+            return concat_evolve([out_schema.empty_table()] + out)
+
+        return rd.from_items(
+            items, override_num_blocks=min(len(items), 256)
+        ).map_batches(load, batch_format="pyarrow", batch_size=4)
 
     def read_table(self) -> pa.Table:
         """Small-scale convenience: fully materialized current state,

@@ -350,3 +350,44 @@ def test_seq_dtype_guard(tmp_path):
     lake.apply_epoch(rd.from_arrow(t), 0)
     got = lake.read_table()
     assert got.num_rows == 1 and got["content"].to_pylist() == ["new"]
+
+
+def test_read_column_projection(tmp_path):
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    ingest_stream(lake, _epoch_datasets())
+    full = lake.read_table()
+    got = pa.table(lake.read(columns=["repo", "path", "seq"]).to_pandas())
+    assert sorted(got.column_names) == ["path", "repo", "seq"]
+    assert got.num_rows == full.num_rows
+    a = got.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    b = (full.select(["repo", "path", "seq"]).to_pandas()
+         .sort_values(["repo", "path"]).reset_index(drop=True))
+    assert a[["repo", "path", "seq"]].equals(b)
+    # projection survives compaction + salting
+    lake.compact()
+    got2 = pa.table(lake.read(columns=["repo", "path", "seq"]).to_pandas())
+    assert got2.num_rows == full.num_rows
+
+
+def test_changes_feed(tmp_path):
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    eps = _epoch_datasets()
+    ingest_stream(lake, eps)
+    # full feed covers every committed (post-combiner) row
+    feed = pa.table(lake.changes().to_pandas())
+    manifests = [lake._read_manifest(f"epoch-{e}.json")
+                 for e in lake.committed_epochs()]
+    assert feed.num_rows == sum(m["rows_delta"] for m in manifests)
+    assert set(feed["_epoch"].to_pylist()) == {0, 1, 2, 3}
+    # incremental: only epochs after the checkpoint
+    inc = pa.table(lake.changes(since_epoch=1).to_pandas())
+    assert set(inc["_epoch"].to_pylist()) == {2, 3}
+    assert inc.num_rows == sum(m["rows_delta"] for m in manifests[2:])
+    # column projection on the feed
+    slim = pa.table(lake.changes(columns=["repo", "seq"]).to_pandas())
+    assert sorted(slim.column_names) == ["_epoch", "repo", "seq"]
+    # after compaction the folded fragments are gone -> loud error
+    lake.compact()
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="GC'd|RayTaskError"):
+        lake.changes().to_pandas()
