@@ -429,7 +429,10 @@ def minhash_dedup(
             np.asarray(pa.table(cand.select_columns(["a"]).to_pandas())["a"]),
             np.asarray(pa.table(cand.select_columns(["b"]).to_pandas())["b"]),
         ]))
-    if cand_ids is not None and len(cand_ids) <= max_broadcast_docs:
+    use_broadcast = cand_ids is not None and len(cand_ids) <= max_broadcast_docs
+    if use_broadcast:
+        from .joins import DEFAULT_BROADCAST_BUDGET
+
         ids_ref = ray.put(cand_ids)
 
         def pick(batch: pa.Table) -> pa.Table:
@@ -437,8 +440,15 @@ def minhash_dedup(
             mask = pc.is_in(batch[id_col], value_set=pa.array(want))
             return batch.filter(mask).select([id_col, text_col])
 
-        picked = pa.table(ds.map_batches(pick, batch_format="pyarrow",
-                                         zero_copy_batch=True).to_pandas())
+        # one corpus scan into the (spillable) object store, then a
+        # metadata byte check before anything reaches the driver — a count
+        # guard alone doesn't bound text bytes
+        picked_ds = ds.map_batches(pick, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+        if picked_ds.size_bytes() > DEFAULT_BROADCAST_BUDGET:
+            use_broadcast = False
+    if use_broadcast:
+        picked = pa.table(picked_ds.to_pandas())
         pids = np.asarray(picked[id_col])
         order = np.argsort(pids)
         texts = picked[text_col].combine_chunks().take(pa.array(order))

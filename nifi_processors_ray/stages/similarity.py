@@ -298,10 +298,13 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
             np.asarray(pa.table(cand.select_columns(["a"]).to_pandas())["a"]),
             np.asarray(pa.table(cand.select_columns(["b"]).to_pandas())["b"]),
         ]))
-    if cand_ids is not None and len(cand_ids) <= max_broadcast_ids:
+    use_broadcast = cand_ids is not None and len(cand_ids) <= max_broadcast_ids
+    if use_broadcast:
         # small candidate set: gather its vectors once, broadcast the
         # normalized matrix via the object store, verify with one
         # map_batches over the pairs — no further shuffles.
+        from .joins import DEFAULT_BROADCAST_BUDGET
+
         ids_ref = ray.put(cand_ids)
 
         def pick(batch: pa.Table) -> pa.Table:
@@ -309,9 +312,15 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
             mask = pc.is_in(batch[id_col], value_set=pa.array(want))
             return batch.filter(mask).select([id_col, vec_col])
 
-        picked = pa.table(
-            ds.map_batches(pick, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas())
+        # one corpus scan into the (spillable) object store, then a
+        # metadata byte check before anything reaches the driver (dim is
+        # data-dependent; the id-count guard alone doesn't bound bytes)
+        picked_ds = ds.map_batches(pick, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+        if picked_ds.size_bytes() > DEFAULT_BROADCAST_BUDGET:
+            use_broadcast = False
+    if use_broadcast:
+        picked = pa.table(picked_ds.to_pandas())
         pids = np.asarray(picked[id_col])
         order = np.argsort(pids)
         mat = _normalize(_to_matrix(picked[vec_col]))[order]
