@@ -786,6 +786,47 @@ def q_fingerprints(sf_dir: str):
     return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_normalize_text(sf_dir: str):
+    """NFC + control-strip + whitespace-collapse + trim (textclean stage;
+    exact DuckDB twin — both engines are RE2 + ICU)."""
+    from ..stages.textclean import normalize_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: normalize_text(b).select(["doc_id", "text_norm"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_NORMALIZE_TEXT = """
+SELECT doc_id,
+       trim(regexp_replace(
+            regexp_replace(nfc_normalize(text),
+                           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+            '\s+', ' ', 'g')) AS text_norm
+FROM documents
+"""
+
+
+def q_pii_scrub(sf_dir: str):
+    """Email/IP/phone redaction with typed placeholders (textclean stage)."""
+    from ..stages.textclean import scrub_pii
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: scrub_pii(b).select(["doc_id", "text_scrubbed"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_PII_SCRUB = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+           '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS text_scrubbed
+FROM documents
+"""
+
+
 def q_minhash_dedup(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_dedup(docs, threshold=0.5)
@@ -1206,6 +1247,8 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "normalize_text": q_normalize_text,
+    "pii_scrub": q_pii_scrub,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
@@ -1245,6 +1288,8 @@ ORACLE_SQL = {
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "normalize_text": SQL_NORMALIZE_TEXT,
+    "pii_scrub": SQL_PII_SCRUB,
     "ann_topk": SQL_ANN_TOPK,
     "reserialize_rows": SQL_RESERIALIZE_ROWS,
     "extract_json_field": SQL_EXTRACT_JSON_FIELD,

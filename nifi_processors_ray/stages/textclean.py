@@ -1,0 +1,70 @@
+"""Text-cleaning stages for training-data pipelines — the scrub/normalize
+steps that precede dedup and quality filtering at corpus scale.
+
+All pure Arrow kernels (``pc.utf8_normalize`` + RE2 ``replace_substring_regex``)
+inside ``map_batches`` — no Python over rows, nothing stateful. Both DuckDB
+and Arrow use RE2 and Unicode normalization, so every stage here has an
+exact SQL twin in the registry (full value-hash oracles).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# C0 control characters except \t \n \r (which whitespace-collapse handles)
+_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_WS_RE = r"\s+"
+
+# deliberately simple, RE2-portable patterns (same engine in DuckDB)
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def _nfc(col):
+    """True NFC (canonical composition included). This pyarrow's
+    ``utf8_normalize(form="NFC")`` decomposes but does NOT re-compose
+    (``e + U+0301`` stays two codepoints; DuckDB's ``nfc_normalize``
+    composes to ``é``), so it can't be the oracle twin. Instead: ASCII-only
+    rows are NFC by definition and skip everything (the vectorized fast
+    path — code corpora are overwhelmingly ASCII); only rows containing
+    non-ASCII take a Python ``unicodedata.normalize`` cold path, scattered
+    back with ``replace_with_mask``."""
+    import unicodedata
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    mask = pc.match_substring_regex(col, r"[^\x00-\x7F]").fill_null(False)
+    if not pc.any(mask).as_py():
+        return col
+    flagged = col.filter(mask)
+    fixed = pa.array([None if s is None else unicodedata.normalize("NFC", s)
+                      for s in flagged.to_pylist()], type=col.type)
+    return pc.replace_with_mask(col, mask, fixed)
+
+
+def normalize_text(batch: pa.Table, *, text_col: str = "text",
+                   out_col: str = "text_norm") -> pa.Table:
+    """Unicode NFC normalization + control-char strip + whitespace collapse
+    + trim. NFC (not NFKC) so the DuckDB twin (``nfc_normalize``) states
+    the identical transform."""
+    col = _nfc(batch[text_col])
+    col = pc.replace_substring_regex(col, _CONTROL_RE, "")
+    col = pc.replace_substring_regex(col, _WS_RE, " ")
+    col = pc.utf8_trim_whitespace(col)
+    return batch.append_column(out_col, col)
+
+
+def scrub_pii(batch: pa.Table, *, text_col: str = "text",
+              out_col: str = "text_scrubbed",
+              patterns: list[tuple[str, str]] | None = None) -> pa.Table:
+    """Redact PII-looking spans (emails, IPv4s, phone-ish digit runs) with
+    typed placeholders. Patterns apply in order (email before phone so a
+    numeric local-part can't be half-eaten)."""
+    col = batch[text_col]
+    for pat, repl in (patterns if patterns is not None else PII_PATTERNS):
+        col = pc.replace_substring_regex(col, pat, repl)
+    return batch.append_column(out_col, col)

@@ -68,3 +68,24 @@ def test_fingerprint_partitioning_invariance():
     ])
     assert whole["simhash64"].to_pylist() == parts["simhash64"].to_pylist()
     assert whole["fingerprint64"].to_pylist() == parts["fingerprint64"].to_pylist()
+
+
+def test_normalize_text_and_pii_scrub():
+    import pyarrow as pa
+
+    from nifi_processors_ray.stages.textclean import normalize_text, scrub_pii
+
+    t = pa.table({"text": [
+        "  hello\t\tworld \x00\x1f!",
+        "cafe\u0301 mail me at a.b+c@ex-1.org or +1 (555) 123-4567",
+        "server 10.0.0.1 up",
+    ]})
+    out = normalize_text(t)
+    got = out["text_norm"].to_pylist()
+    assert got[0] == "hello world !"
+    assert got[1].startswith("caf\u00e9 ")  # NFC composes e + combining acute
+    out2 = scrub_pii(t)
+    s = out2["text_scrubbed"].to_pylist()
+    assert "<EMAIL>" in s[1] and "a.b+c@" not in s[1]
+    assert "<PHONE>" in s[1]
+    assert s[2] == "server <IP> up"
