@@ -786,6 +786,18 @@ def q_fingerprints(sf_dir: str):
     return docs.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct-user estimate over events (m=4096 registers;
+    shuffle = m tiny rows per batch regardless of data size). Approximate
+    by construction -> rows-only; accuracy pinned in tests/test_sketches.py."""
+    from ..stages.sketches import approx_distinct
+
+    events = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(events, "user_id", p=12)
+    return pa.table({"metric": pa.array(["approx_distinct_users"]),
+                     "estimate": pa.array([est], pa.float64())})
+
+
 def q_normalize_text(sf_dir: str):
     """NFC + control-strip + whitespace-collapse + trim (textclean stage;
     exact DuckDB twin — both engines are RE2 + ICU)."""
@@ -1247,6 +1259,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "approx_distinct_users": q_approx_distinct,
     "normalize_text": q_normalize_text,
     "pii_scrub": q_pii_scrub,
     "minhash_dedup": q_minhash_dedup,

@@ -1,0 +1,71 @@
+"""Distributed sketches — bounded-memory approximations whose partials
+merge associatively, so the shuffle carries a fixed-size sketch per batch
+instead of the data.
+
+* ``approx_distinct`` — HyperLogLog cardinality: each batch reduces to an
+  ``m``-register sketch (vectorized: hash -> register index from the top
+  ``p`` bits, rank = leading-zero count of the rest); partial sketches
+  merge with a per-register MAX groupby; the driver applies the standard
+  HLL estimator (with the small-range linear-counting correction) to the
+  final ``m`` rows. Shuffle volume: ``m`` tiny rows per batch, independent
+  of data size — the 100-TB shape for COUNT(DISTINCT).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash64
+
+
+def _hll_partial(batch: pa.Table, col: str, p: int) -> pa.Table:
+    """One batch -> (register, rank) partial sketch (registers with rank 0
+    omitted — the merge treats absence as 0)."""
+    values = batch[col]
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    h = stable_hash64(values)
+    m = 1 << p
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits
+    # rank = leading zeros of `rest` + 1, capped at 64 - p + 1
+    rank = np.ones(len(h), dtype=np.int64)
+    probe = rest
+    for shift in (32, 16, 8, 4, 2, 1):
+        top = probe >> np.uint64(64 - shift)
+        is_zero = top == 0
+        rank += np.where(is_zero, shift, 0)
+        probe = np.where(is_zero, probe << np.uint64(shift), probe)
+    rank = np.minimum(rank, 64 - p + 1)
+    # per-register max within the batch (lexsort keep-last)
+    order = np.lexsort((rank, reg))
+    r, k = reg[order], rank[order]
+    last = np.ones(len(r), dtype=bool)
+    last[:-1] = r[1:] != r[:-1]
+    return pa.table({"register": pa.array(r[last]),
+                     "rank": pa.array(k[last])})
+
+
+def approx_distinct(ds, col: str, *, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col) via HyperLogLog with ``m = 2^p``
+    registers (standard error ~= 1.04/sqrt(m); ~1.6% at the default
+    p=12). Returns the corrected estimate as a float."""
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+    merged = (
+        ds.map_batches(lambda b: _hll_partial(b, col, p),
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("register")
+        .aggregate(Max("rank", alias_name="rank"))
+        .to_pandas()
+    )
+    regs = np.zeros(m, dtype=np.int64)
+    regs[merged["register"].to_numpy()] = merged["rank"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting for the small range
+    return float(est)
