@@ -667,6 +667,32 @@ FROM documents
 """
 
 
+def q_token_counts_bpe(sf_dir: str):
+    """Token counting under the BPE-ish pretokenizer regex (contractions /
+    letter-runs / digit-runs / symbol-runs) — the LLM-flavored sibling of
+    the whitespace count, same RE2 pattern in the DuckDB twin."""
+    from ..stages.textstats import BPEISH_PATTERN
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: count_tokens(b, text_col="text", pattern=BPEISH_PATTERN,
+                               out_col="n_bpe_tokens")
+        .select(["doc_id", "n_bpe_tokens"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _sql_token_counts_bpe() -> str:
+    from ..stages.textstats import BPEISH_PATTERN
+
+    pat = BPEISH_PATTERN.replace("'", "''")
+    return ("SELECT doc_id, CAST(length(regexp_extract_all(text, '"
+            + pat + "')) AS BIGINT) AS n_bpe_tokens FROM documents")
+
+
+SQL_TOKEN_COUNTS_BPE = _sql_token_counts_bpe()
+
+
 def q_quality_scores(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = docs.map_batches(QualityScoreStage, batch_format="pyarrow",
@@ -1256,6 +1282,7 @@ QUERIES = {
     "events_hourly_window": q_events_hourly_window,
     "exact_dedup": q_exact_dedup,
     "token_counts": q_token_counts,
+    "token_counts_bpe": q_token_counts_bpe,
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -1298,6 +1325,7 @@ ORACLE_SQL = {
     "events_hourly_window": SQL_EVENTS_HOURLY_WINDOW,
     "exact_dedup": SQL_EXACT_DEDUP,
     "token_counts": SQL_TOKEN_COUNTS,
+    "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
