@@ -760,6 +760,8 @@ class LakeTable:
         root = self.root
         plan = self._salt_plan(base_version, pending)
 
+        touched = set(self._fragment_index(pending))  # pids with deltas
+
         def compact_sub(batch: pa.Table) -> pa.Table:
             # one task per (pid, salt) sub-partition: reads ONLY the aligned
             # base sub-file(s) + this pid's delta row groups filtered to the
@@ -770,13 +772,34 @@ class LakeTable:
             for pid, salt, k, k_old in zip(
                     batch["pid"].to_pylist(), batch["salt"].to_pylist(),
                     batch["k"].to_pylist(), batch["k_old"].to_pylist()):
-                t = resolver.resolve_sub(int(pid), int(salt), int(k),
-                                         base_version, int(k_old))
                 fn = (f"pid={int(pid)}.parquet" if k == 1
                       else f"pid={int(pid)}-s{int(salt)}.parquet")
+                dst = os.path.join(bdir, fn)
+                if pid not in touched and k == k_old and base_version >= 0:
+                    # INCREMENTAL compaction: a sub-partition with no
+                    # pending deltas and an unchanged salt width carries
+                    # forward as a hard link — no read, no rewrite. This
+                    # bounds compaction cost by the touched data, not the
+                    # table size (rewriting 100 TB to fold a 1 GB delta is
+                    # the naive copy-on-write failure mode).
+                    src = resolver._base_file(
+                        os.path.join(root, "base", f"v={base_version}"),
+                        int(pid), int(salt), int(k_old))
+                    if os.path.exists(src):
+                        os.makedirs(bdir, exist_ok=True)
+                        if not os.path.exists(dst):
+                            os.link(src, dst)
+                        md = pq.ParquetFile(dst).metadata
+                        rows.append((int(pid), int(salt), int(k),
+                                     md.num_rows, os.path.getsize(dst)))
+                    else:
+                        rows.append((int(pid), int(salt), int(k), 0, 0))
+                    continue
+                t = resolver.resolve_sub(int(pid), int(salt), int(k),
+                                         base_version, int(k_old))
                 # skip empty sub-files (k is an upper-bound estimate);
                 # resolve_sub treats a missing sub-file as empty
-                nbytes = (_atomic_write_parquet(t, os.path.join(bdir, fn))
+                nbytes = (_atomic_write_parquet(t, dst)
                           if t.num_rows else 0)
                 rows.append((int(pid), int(salt), int(k), t.num_rows, nbytes))
             return pa.table(

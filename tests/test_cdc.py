@@ -391,3 +391,40 @@ def test_changes_feed(tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="GC'd|RayTaskError"):
         lake.changes().to_pandas()
+
+
+def test_incremental_compaction_links_untouched_partitions(tmp_path):
+    """A second compaction whose deltas touch ONE pid must hard-link every
+    other sub-partition forward (same inode, no rewrite) — compaction cost
+    is bounded by touched data, not table size."""
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=8)
+    ingest_stream(lake, _epoch_datasets())
+    lake.compact()
+    v0 = tmp_path / "lake" / "base" / "v=0"
+    inodes_before = {f.name: f.stat().st_ino for f in v0.iterdir()}
+
+    # one new key -> exactly one pid touched
+    one = pa.table({
+        "repo": ["only/one"], "path": ["p"], "commit": ["c"],
+        "lang": ["py"], "content": ["x"], "op": ["upsert"],
+        "seq": [10_000_000],
+    })
+    lake.apply_epoch(rd.from_arrow(one), EPOCHS)
+    from nifi_processors_ray.functions.hashing import hash64_columns
+    touched_pid = int(hash64_columns(one, ["repo", "path"])[0]) % 8
+
+    lake.compact()
+    v1 = tmp_path / "lake" / "base" / "v=1"
+    linked = rewritten = 0
+    for f in v1.iterdir():
+        pid = int(f.name.split("=")[1].split(".")[0].split("-")[0])
+        if pid == touched_pid:
+            rewritten += 1
+            assert f.stat().st_ino != inodes_before.get(f.name)
+        else:
+            linked += 1
+            assert f.stat().st_ino == inodes_before[f.name], f.name
+    assert linked > 0 and rewritten >= 1
+    # state is exact: original events + the new key
+    full = pa.concat_tables([_events(), one.select(_events().column_names)])
+    assert replay_verify(lake, expected_snapshot(full))
