@@ -937,6 +937,20 @@ def q_ann_ivf(sf_dir: str):
     return _round_cols(out, {"score": 6})
 
 
+def q_image_features_ppm(sf_dir: str):
+    """REAL image decode path: deterministic P6 PPM images -> actor-pool
+    decode + per-channel stats + luminance histogram (pure numpy, no codec
+    libs). Feature values pinned in pytest -> rows-only here."""
+    from ..stages.multimodal import ImageFeatureStage, synthesize_ppm_media
+
+    rd = _rd()
+    media = rd.from_arrow(synthesize_ppm_media(512, width=32, height=24))
+    out = media.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                            batch_size=64, concurrency=2)
+    return out.select_columns(["media_id", "decoded_width",
+                               "decoded_height"])
+
+
 def q_multimodal_features(sf_dir: str):
     """Media plumbing (decode STUBBED, Ray wiring real): synth binary table
     -> actor-pool feature stage -> frame sampling explosion."""
@@ -1295,6 +1309,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
+    "image_features_ppm": q_image_features_ppm,
     "reserialize_rows": q_reserialize_rows,
     "extract_json_field": q_extract_json_field,
     "deterministic_sample": q_deterministic_sample,

@@ -89,3 +89,47 @@ def test_normalize_text_and_pii_scrub():
     assert "<EMAIL>" in s[1] and "a.b+c@" not in s[1]
     assert "<PHONE>" in s[1]
     assert s[2] == "server <IP> up"
+
+
+def test_ppm_roundtrip_resize_and_features():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.multimodal import (
+        ImageFeatureStage,
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+        synthesize_ppm_media,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(4))
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # comment-tolerant header
+    with_comment = b"P6\n# a comment\n7 10\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), img)
+    small = resize_nearest(img, 5, 4)
+    assert small.shape == (5, 4, 3)
+    assert np.array_equal(small[0, 0], img[0, 0])
+
+    media = synthesize_ppm_media(8, width=16, height=12)
+    ds = rd.from_arrow(media)
+    out = pa.table(ds.map_batches(
+        ImageFeatureStage(thumbnail=(6, 8)), batch_format="pyarrow",
+        batch_size=4).to_pandas())
+    assert out.num_rows == 8
+    assert set(out["decoded_width"].to_pylist()) == {16}
+    assert set(out["decoded_height"].to_pylist()) == {12}
+    f = np.array(out["features"].to_pylist())
+    assert f.shape == (8, ImageFeatureStage.FEATURE_DIM)
+    assert np.allclose(f[:, 6:].sum(axis=1), 1.0)  # histogram normalized
+    # thumbnails are themselves valid PPMs of the requested size
+    t = decode_ppm(out["thumbnail"][0].as_py())
+    assert t.shape == (6, 8, 3)
+    # determinism
+    again = pa.table(rd.from_arrow(synthesize_ppm_media(8, width=16, height=12))
+                     .map_batches(ImageFeatureStage(), batch_format="pyarrow")
+                     .to_pandas())
+    assert np.allclose(np.array(again["features"].to_pylist()), f)
