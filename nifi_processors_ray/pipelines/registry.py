@@ -951,6 +951,20 @@ def q_image_features_ppm(sf_dir: str):
                                "decoded_height"])
 
 
+def q_audio_features_wav(sf_dir: str):
+    """REAL audio decode path: deterministic PCM16 WAV payloads -> RMS /
+    zero-crossing / spectral centroid + rolloff via np.fft. Feature physics
+    pinned in pytest -> rows-only here."""
+    from ..stages.multimodal import AudioFeatureStage, synthesize_wav_media
+
+    rd = _rd()
+    media = rd.from_arrow(synthesize_wav_media(256, seconds=0.25,
+                                               sample_rate=8000))
+    out = media.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                            batch_size=32, concurrency=2)
+    return out.select_columns(["media_id", "sample_rate", "duration_sec"])
+
+
 def q_multimodal_features(sf_dir: str):
     """Media plumbing (decode STUBBED, Ray wiring real): synth binary table
     -> actor-pool feature stage -> frame sampling explosion."""
@@ -1310,6 +1324,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
     "image_features_ppm": q_image_features_ppm,
+    "audio_features_wav": q_audio_features_wav,
     "reserialize_rows": q_reserialize_rows,
     "extract_json_field": q_extract_json_field,
     "deterministic_sample": q_deterministic_sample,

@@ -265,3 +265,111 @@ class ImageFeatureStage:
             out = out.append_column("thumbnail",
                                     pa.array(thumbs, pa.binary()))
         return out
+
+
+# ---------------------------------------------------------------------------
+# real WAV (PCM16) audio path — pure numpy, no codec libraries
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, *, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 PCM -> RIFF/WAVE bytes."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = np.ascontiguousarray(s).tobytes()
+    byte_rate = sample_rate * ch * 2
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate,
+                                   byte_rate, ch * 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 bytes -> ((n, channels) int16 samples, sample_rate).
+    Walks RIFF chunks, so extra chunks (LIST/fact) are tolerated."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, ch, rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only PCM16 supported")
+    s = np.frombuffer(pcm, dtype="<i2")
+    return s.reshape(-1, ch), rate
+
+
+def synthesize_wav_media(n: int, *, seconds: float = 0.25,
+                         sample_rate: int = 8000, seed: int = 5) -> pa.Table:
+    """Deterministic REAL WAV payloads (per-id sine + harmonic) in the
+    MEDIA_SCHEMA layout."""
+    ids = np.arange(n, dtype=np.int64)
+    h64 = stable_hash64(pa.array(ids + seed * 1_000_003))
+    t = np.arange(int(seconds * sample_rate)) / sample_rate
+    payloads = []
+    for i in range(n):
+        f0 = 200 + float(h64[i] % np.uint64(800))
+        wave = (0.6 * np.sin(2 * np.pi * f0 * t)
+                + 0.3 * np.sin(2 * np.pi * 2 * f0 * t))
+        payloads.append(encode_wav((wave * 32000).astype(np.int16),
+                                   sample_rate=sample_rate))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "kind": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * n, pa.string()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
+class AudioFeatureStage:
+    """Actor-pool stage with a REAL decode path: PCM16 WAV payloads decode
+    to samples; features are RMS, zero-crossing rate, spectral centroid and
+    rolloff (np.fft), duration and sample rate — the standard cheap audio
+    descriptors, computed from real waveforms."""
+
+    FEATURE_DIM = 4  # rms, zcr, centroid_hz, rolloff_hz
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        feats, rates, durs = [], [], []
+        for raw in payload:
+            s, rate = decode_wav(raw.as_py())
+            mono = s.mean(axis=1) / 32768.0
+            rms = float(np.sqrt((mono ** 2).mean())) if len(mono) else 0.0
+            zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if len(mono) > 1 else 0.0
+            spec = np.abs(np.fft.rfft(mono))
+            freqs = np.fft.rfftfreq(len(mono), d=1.0 / rate)
+            power = spec.sum()
+            centroid = float((freqs * spec).sum() / power) if power else 0.0
+            cum = np.cumsum(spec)
+            roll_idx = int(np.searchsorted(cum, 0.85 * power)) if power else 0
+            rolloff = float(freqs[min(roll_idx, len(freqs) - 1)])
+            feats.append([rms, zcr, centroid, rolloff])
+            rates.append(rate)
+            durs.append(len(mono) / rate)
+        out = batch.append_column("features",
+                                  pa.array(feats, pa.list_(pa.float64())))
+        out = out.append_column("sample_rate", pa.array(rates, pa.int64()))
+        out = out.append_column("duration_sec", pa.array(durs, pa.float64()))
+        return out

@@ -133,3 +133,34 @@ def test_ppm_roundtrip_resize_and_features():
                      .map_batches(ImageFeatureStage(), batch_format="pyarrow")
                      .to_pandas())
     assert np.allclose(np.array(again["features"].to_pylist()), f)
+
+
+def test_wav_roundtrip_and_audio_features():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.multimodal import (
+        AudioFeatureStage,
+        decode_wav,
+        encode_wav,
+        synthesize_wav_media,
+    )
+
+    t = np.arange(4000) / 8000.0
+    wave = (np.sin(2 * np.pi * 440 * t) * 30000).astype(np.int16)
+    s, rate = decode_wav(encode_wav(wave, sample_rate=8000))
+    assert rate == 8000
+    assert np.array_equal(s[:, 0], wave)
+
+    media = synthesize_wav_media(6, seconds=0.25, sample_rate=8000)
+    out = pa.table(rd.from_arrow(media).map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=3,
+        concurrency=2).to_pandas())
+    assert out.num_rows == 6
+    f = np.array(out["features"].to_pylist())
+    assert f.shape == (6, AudioFeatureStage.FEATURE_DIM)
+    # pure sines: strong rms, centroid between f0 and 2*f0 (the harmonic)
+    assert (f[:, 0] > 0.3).all()
+    assert ((f[:, 2] > 150) & (f[:, 2] < 2200)).all()
+    assert np.allclose(out["duration_sec"].to_pylist(), 0.25)
