@@ -965,6 +965,20 @@ def q_audio_features_wav(sf_dir: str):
     return out.select_columns(["media_id", "sample_rate", "duration_sec"])
 
 
+def q_video_frames_y4m(sf_dir: str):
+    """REAL video frame sampling: deterministic Y4M clips -> every-2nd luma
+    frame re-encoded as PPM rows (actual pixels; pinned in pytest)."""
+    from ..stages.multimodal import Y4MFrameSampleStage, synthesize_y4m_media
+
+    rd = _rd()
+    media = rd.from_arrow(synthesize_y4m_media(128, width=32, height=24,
+                                               n_frames=8))
+    out = media.map_batches(Y4MFrameSampleStage(every=2),
+                            batch_format="pyarrow", batch_size=16,
+                            concurrency=2)
+    return out.select_columns(["media_id", "frame_idx"])
+
+
 def q_multimodal_features(sf_dir: str):
     """Media plumbing (decode STUBBED, Ray wiring real): synth binary table
     -> actor-pool feature stage -> frame sampling explosion."""
@@ -1325,6 +1339,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "image_features_ppm": q_image_features_ppm,
     "audio_features_wav": q_audio_features_wav,
+    "video_frames_y4m": q_video_frames_y4m,
     "reserialize_rows": q_reserialize_rows,
     "extract_json_field": q_extract_json_field,
     "deterministic_sample": q_deterministic_sample,

@@ -373,3 +373,105 @@ class AudioFeatureStage:
         out = out.append_column("sample_rate", pa.array(rates, pa.int64()))
         out = out.append_column("duration_sec", pa.array(durs, pa.float64()))
         return out
+
+
+# ---------------------------------------------------------------------------
+# real Y4M (YUV4MPEG2, 4:2:0) video path — pure numpy, no codec libraries
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(frames: np.ndarray) -> bytes:
+    """(n_frames, H, W) uint8 luma (+ flat U/V planes at H/2 x W/2 filled
+    neutral 128) -> YUV4MPEG2 4:2:0 bytes."""
+    n, h, w = frames.shape
+    if h % 2 or w % 2:
+        raise ValueError("4:2:0 needs even dimensions")
+    uv = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(frames[i], dtype=np.uint8).tobytes())
+        out.append(uv)
+        out.append(uv)
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> np.ndarray:
+    """YUV4MPEG2 4:2:0 bytes -> (n_frames, H, W) uint8 luma planes."""
+    nl = data.index(b"\n")
+    header = data[:nl].decode()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    params = {p[0]: p[1:] for p in header.split()[1:] if p}
+    w, h = int(params["W"]), int(params["H"])
+    if params.get("C", "420") not in ("420", "420jpeg", "420mpeg2"):
+        raise ValueError("only C420 supported")
+    frame_bytes = w * h + 2 * (w // 2) * (h // 2)
+    pos, frames = nl + 1, []
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed FRAME marker")
+        start = fnl + 1
+        luma = np.frombuffer(data, np.uint8, count=w * h, offset=start)
+        frames.append(luma.reshape(h, w))
+        pos = start + frame_bytes
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8)
+
+
+def synthesize_y4m_media(n: int, *, width: int = 32, height: int = 24,
+                         n_frames: int = 8, seed: int = 5) -> pa.Table:
+    """Deterministic REAL Y4M clips (moving gradient per frame) in the
+    MEDIA_SCHEMA layout."""
+    ids = np.arange(n, dtype=np.int64)
+    h64 = stable_hash64(pa.array(ids + seed * 1_000_003))
+    yy, xx = np.mgrid[0:height, 0:width]
+    payloads = []
+    for i in range(n):
+        phase = int(h64[i] % np.uint64(199))
+        frames = np.stack([
+            ((xx * 4 + yy * 2 + phase + 7 * f) % 256).astype(np.uint8)
+            for f in range(n_frames)
+        ])
+        payloads.append(encode_y4m(frames))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "kind": pa.array(["video"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-yuv4mpeg"] * n, pa.string()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
+class Y4MFrameSampleStage:
+    """REAL video frame sampling: decode Y4M clips and emit every k-th luma
+    frame as a P6 PPM grayscale image row (media_id, frame_idx,
+    frame_payload) — the flat-map shape of an ffmpeg-based sampler, with
+    actual pixels."""
+
+    def __init__(self, *, every: int = 2):
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        ids = np.asarray(batch["media_id"])
+        out_id, out_idx, out_frames = [], [], []
+        for mid, raw in zip(ids, payload):
+            frames = decode_y4m(raw.as_py())
+            for fi in range(0, len(frames), self.every):
+                gray = frames[fi]
+                out_id.append(int(mid))
+                out_idx.append(fi)
+                out_frames.append(encode_ppm(
+                    np.repeat(gray[:, :, None], 3, axis=2)))
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "frame_payload": pa.array(out_frames, pa.binary()),
+            }
+        )

@@ -164,3 +164,34 @@ def test_wav_roundtrip_and_audio_features():
     assert (f[:, 0] > 0.3).all()
     assert ((f[:, 2] > 150) & (f[:, 2] < 2200)).all()
     assert np.allclose(out["duration_sec"].to_pylist(), 0.25)
+
+
+def test_y4m_roundtrip_and_frame_sampling():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.multimodal import (
+        Y4MFrameSampleStage,
+        decode_ppm,
+        decode_y4m,
+        encode_y4m,
+        synthesize_y4m_media,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(6))
+    frames = rng.integers(0, 256, size=(5, 8, 12), dtype=np.uint8)
+    assert np.array_equal(decode_y4m(encode_y4m(frames)), frames)
+
+    media = synthesize_y4m_media(4, width=16, height=12, n_frames=6)
+    out = pa.table(rd.from_arrow(media).map_batches(
+        Y4MFrameSampleStage(every=2), batch_format="pyarrow",
+        batch_size=2, concurrency=2).to_pandas())
+    # every 2nd of 6 frames -> 3 frames per clip
+    assert out.num_rows == 4 * 3
+    assert sorted(set(out["frame_idx"].to_pylist())) == [0, 2, 4]
+    # sampled frames are valid PPMs with the clip's real pixels
+    img = decode_ppm(out["frame_payload"][0].as_py())
+    assert img.shape == (12, 16, 3)
+    clip0 = decode_y4m(media["payload"][0].as_py())
+    assert np.array_equal(img[:, :, 0], clip0[0])
