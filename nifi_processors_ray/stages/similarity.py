@@ -12,8 +12,6 @@
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -105,34 +103,34 @@ def knn_topk(ds, query_ids, query_matrix, *, id_col: str = "vec_id",
 
     ref = ray.put((np.asarray(query_ids, dtype=np.int64),
                    np.asarray(query_matrix, dtype=np.float64)))
-    partials = ds.map_batches(
+    partials = pa.table(ds.map_batches(
         BruteForceTopK,
         fn_constructor_args=(ref,),
         fn_constructor_kwargs={"id_col": id_col, "vec_col": vec_col, "k": k},
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=4,
-    ).to_pandas()
-    heaps: dict[int, list] = {}
-    for qid, vid, s in partials.itertuples(index=False):
-        if exclude_self and vid == qid:
-            continue
-        h = heaps.setdefault(int(qid), [])
-        item = (float(s), -int(vid))
-        if len(h) < k:
-            heapq.heappush(h, item)
-        else:
-            heapq.heappushpop(h, item)
-    rows = []
-    for qid in sorted(heaps):
-        best = sorted(heaps[qid], key=lambda t: (-t[0], -t[1]))
-        for s, nvid in best:
-            rows.append((qid, -nvid, s))
+    ).to_pandas())
+    # vectorized merge of the (<= (k+1) x queries x batches) partial rows:
+    # lexsort by (query, score desc, id asc), then keep the first k per query
+    qid = np.asarray(partials["query_id"], dtype=np.int64)
+    vid = np.asarray(partials[id_col], dtype=np.int64)
+    sc = np.asarray(partials["score"], dtype=np.float64)
+    if exclude_self:
+        keep = vid != qid
+        qid, vid, sc = qid[keep], vid[keep], sc[keep]
+    order = np.lexsort((vid, -sc, qid))
+    qs, vs, ss = qid[order], vid[order], sc[order]
+    new_q = np.ones(len(qs), dtype=bool)
+    new_q[1:] = qs[1:] != qs[:-1]
+    rank = np.arange(len(qs)) - np.maximum.accumulate(
+        np.where(new_q, np.arange(len(qs)), 0))
+    top = rank < k
     return pa.table(
         {
-            "query_id": pa.array([r[0] for r in rows], pa.int64()),
-            id_col: pa.array([r[1] for r in rows], pa.int64()),
-            "score": pa.array([r[2] for r in rows], pa.float64()),
+            "query_id": pa.array(qs[top]),
+            id_col: pa.array(vs[top]),
+            "score": pa.array(ss[top]),
         }
     )
 
