@@ -734,6 +734,69 @@ class LakeTable:
             items, override_num_blocks=min(len(items), 256)
         ).map_batches(load, batch_format="pyarrow", batch_size=4)
 
+    def verify_integrity(self) -> dict:
+        """fsck for the lake: every manifest-listed fragment row group and
+        base sub-file must exist with the expected shape. Returns a report
+        dict; ``ok`` is False if anything committed is missing (orphans —
+        files present but not referenced — are listed, never an error:
+        they're invisible to readers by design)."""
+        missing: list[str] = []
+        orphans: list[str] = []
+        base_version, pending = self._pending_state()
+        listed: set[str] = set()
+        for e in self.committed_epochs():
+            m = self._read_manifest(f"epoch-{e}.json")
+            for fn, pids in m.get("fragments", {}).items():
+                listed.add(fn)
+                if e not in pending:
+                    continue  # folded fragments are legitimately GC'd
+                path = os.path.join(self.root, "deltas", fn)
+                if not os.path.exists(path):
+                    missing.append(f"deltas/{fn}")
+                    continue
+                n_rg = pq.ParquetFile(path).metadata.num_row_groups
+                for pid_s, rg in pids.items():
+                    if int(rg) >= n_rg:
+                        missing.append(f"deltas/{fn}#rg{rg} (pid {pid_s})")
+        ddir = os.path.join(self.root, "deltas")
+        if os.path.isdir(ddir):
+            for fn in os.listdir(ddir):
+                if fn not in listed:
+                    orphans.append(f"deltas/{fn}")
+        if base_version >= 0:
+            bdir = os.path.join(self.root, "base", f"v={base_version}")
+            for pid, part in self._base_partitions(base_version).items():
+                k = int(part.get("salts", 1))
+                want_rows = int(part.get("rows", 0))
+                got = 0
+                for s in range(k):
+                    fn = (f"pid={pid}.parquet" if k == 1
+                          else f"pid={pid}-s{s}.parquet")
+                    p = os.path.join(bdir, fn)
+                    if os.path.exists(p):
+                        got += pq.ParquetFile(p).metadata.num_rows
+                if got != want_rows:
+                    missing.append(
+                        f"base/v={base_version}/pid={pid}: {got} rows on "
+                        f"disk vs {want_rows} in manifest")
+        return {"ok": not missing, "missing": missing, "orphans": orphans,
+                "base_version": base_version, "pending_epochs": pending}
+
+    def gc(self) -> dict:
+        """Remove orphan delta fragments — files on disk that no committed
+        manifest references (crashed / retried / never-committed writer
+        output). Safe by construction: readers only ever open
+        manifest-listed row groups, so orphans are invisible; gc just
+        reclaims their bytes. Fragments of not-yet-committed IN-FLIGHT
+        epochs are also orphans by this definition, so run gc() between
+        ingest batches, not concurrently with one."""
+        report = self.verify_integrity()
+        removed = []
+        for rel in report["orphans"]:
+            os.unlink(os.path.join(self.root, rel))
+            removed.append(rel)
+        return {"removed": removed}
+
     def read_table(self) -> pa.Table:
         """Small-scale convenience: fully materialized current state,
         resolved WITHOUT Ray (driver-side pyarrow) — used by tests/oracles."""

@@ -428,3 +428,43 @@ def test_incremental_compaction_links_untouched_partitions(tmp_path):
     # state is exact: original events + the new key
     full = pa.concat_tables([_events(), one.select(_events().column_names)])
     assert replay_verify(lake, expected_snapshot(full))
+
+
+def test_verify_integrity_and_gc(tmp_path):
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    ingest_stream(lake, _epoch_datasets())
+    rep = lake.verify_integrity()
+    assert rep["ok"] and rep["missing"] == [] and rep["orphans"] == []
+
+    # plant an orphan fragment (crashed-task leftover): invisible to
+    # readers, flagged by fsck, removed by gc
+    orphan = tmp_path / "lake" / "deltas" / "epoch-9-deadbeef.parquet"
+    orphan.write_bytes(b"not a real parquet")
+    before = lake.read_table().num_rows
+    rep2 = lake.verify_integrity()
+    assert rep2["ok"] and rep2["orphans"] == ["deltas/epoch-9-deadbeef.parquet"]
+    assert lake.read_table().num_rows == before
+    out = lake.gc()
+    assert out["removed"] == ["deltas/epoch-9-deadbeef.parquet"]
+    assert not orphan.exists()
+
+    # delete a committed fragment -> fsck reports missing
+    victim = next(f for f in (tmp_path / "lake" / "deltas").iterdir())
+    victim.unlink()
+    rep3 = lake.verify_integrity()
+    assert not rep3["ok"] and rep3["missing"]
+
+    # after compaction (fragments folded+GC'd) integrity holds again,
+    # including base row counts vs the compact manifest
+    # (restore by re-ingesting the epoch: manifest fence makes this exact)
+    e = int(victim.name.split("-")[1])
+    os.unlink(os.path.join(str(tmp_path / "lake"), "_manifests",
+                           f"epoch-{e}.json"))
+    per = N // EPOCHS
+    lake.apply_epoch(rd.from_arrow(
+        change_stream_batch(e * per, per, seed=7, n_repos=20,
+                            paths_per_repo=50)), e)
+    lake.compact()
+    rep4 = lake.verify_integrity()
+    assert rep4["ok"], rep4
+    assert replay_verify(lake, expected_snapshot(_events()))
