@@ -865,6 +865,54 @@ FROM documents
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs whose distinct-token set
+    overlaps the 'benchmark' slice (doc_id % 97 == 3) by >= 30%. The
+    benchmark shingle set broadcasts once; per-batch overlap is fully
+    vectorized. Integer counts divide identically in DuckDB -> exact
+    oracle."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.dedup import ContaminationStage
+
+    bench_tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    mask = np.asarray(bench_tbl["doc_id"]) % 97 == 3
+    ref = ray.put(ContaminationStage.bench_shingles(
+        bench_tbl.filter(pa.array(mask))["text"], k=1))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        ContaminationStage, fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"k": 1, "threshold": 0.3},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=2,
+    ).select_columns(["doc_id", "n_shingles", "n_overlap", "overlap_frac",
+                      "contaminated"])
+    return _round_cols(_to_table(out), {"overlap_frac": 6})
+
+
+SQL_DECONTAMINATE = """
+WITH bench AS (
+  SELECT list_distinct(flatten(list(regexp_extract_all(text, '\\S+'))))
+         AS btoks
+  FROM documents WHERE doc_id % 97 = 3),
+d AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS toks
+  FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_shingles,
+       CAST(len(list_intersect(toks, btoks)) AS BIGINT) AS n_overlap,
+       ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(toks, btoks)) AS DOUBLE)
+                  / len(toks) END, 6) AS overlap_frac,
+       (CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(toks, btoks)) AS DOUBLE)
+                  / len(toks) END) >= 0.3 AS contaminated
+FROM d CROSS JOIN bench
+"""
+
+
 def q_minhash_dedup(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_dedup(docs, threshold=0.5)
@@ -1331,6 +1379,7 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct,
     "normalize_text": q_normalize_text,
     "pii_scrub": q_pii_scrub,
+    "decontaminate": q_decontaminate,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
@@ -1376,6 +1425,7 @@ ORACLE_SQL = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "pii_scrub": SQL_PII_SCRUB,
+    "decontaminate": SQL_DECONTAMINATE,
     "ann_topk": SQL_ANN_TOPK,
     "reserialize_rows": SQL_RESERIALIZE_ROWS,
     "extract_json_field": SQL_EXTRACT_JSON_FIELD,

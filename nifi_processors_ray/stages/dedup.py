@@ -576,3 +576,61 @@ def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return tbl
     order = np.lexsort((np.asarray(tbl["b"]), np.asarray(tbl["a"])))
     return tbl.take(order)
+
+
+class ContaminationStage:
+    """Benchmark-decontamination stage: flag corpus documents whose
+    word-``k``-shingle sets overlap a benchmark/eval set — the standard
+    pre-training hygiene step (don't train on the test set).
+
+    The benchmark's distinct shingle hashes are built ONCE in ``__init__``
+    (per actor) from a broadcast ``ray.put`` ref — a fixed-width uint64
+    array, tiny next to the corpus — and each batch computes, fully
+    vectorized, the fraction of every document's distinct shingles that
+    appear in it (sorted-array ``searchsorted`` membership + lexsort
+    distinct counts; no Python over rows). Emits ``n_shingles``,
+    ``n_overlap``, ``overlap_frac`` and the boolean ``contaminated``.
+    """
+
+    def __init__(self, bench_ref, *, text_col: str = "text", k: int = 1,
+                 threshold: float = 0.5):
+        import ray
+
+        bench = (ray.get(bench_ref)
+                 if not isinstance(bench_ref, np.ndarray) else bench_ref)
+        self.bench = np.sort(np.asarray(bench, dtype=np.uint64))
+        self.text_col = text_col
+        self.k = k
+        self.threshold = threshold
+
+    @staticmethod
+    def bench_shingles(texts, k: int = 1) -> np.ndarray:
+        """Benchmark text array -> distinct shingle-hash set (driver-side;
+        the benchmark is small by definition)."""
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pa.array(list(texts), pa.string())
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        h, _ = _shingle_hashes(texts, k)
+        return np.unique(h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = batch.num_rows
+        h, counts = _shingle_hashes(text, self.k)
+        rows = np.repeat(np.arange(n), counts)
+        n_distinct = _distinct_per_row(rows, h, n)
+        idx = np.searchsorted(self.bench, h)
+        idx_c = np.clip(idx, 0, max(0, len(self.bench) - 1))
+        hit = (self.bench[idx_c] == h) if len(self.bench) else np.zeros(
+            len(h), dtype=bool)
+        n_overlap = _distinct_per_row(rows[hit], h[hit], n)
+        frac = np.where(n_distinct > 0, n_overlap / np.maximum(n_distinct, 1),
+                        0.0)
+        out = batch.append_column("n_shingles", pa.array(n_distinct))
+        out = out.append_column("n_overlap", pa.array(n_overlap))
+        out = out.append_column("overlap_frac", pa.array(frac, pa.float64()))
+        return out.append_column("contaminated",
+                                 pa.array(frac >= self.threshold))

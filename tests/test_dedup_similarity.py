@@ -211,3 +211,32 @@ def test_ivf_topk_full_probe_matches_exact():
     # probing every centroid scans the whole corpus -> identical to exact
     full = ivf_topk(ds, [0, 5], m[[0, 5]], k=5, n_centroids=8, nprobe=8)
     assert full.equals(exact)
+
+
+def test_contamination_stage_flags_benchmark_overlap():
+    import ray
+
+    from nifi_processors_ray.stages.dedup import ContaminationStage
+
+    bench = ["the quick brown fox", "completely unrelated benchmark line"]
+    ref = ray.put(ContaminationStage.bench_shingles(bench, k=1))
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": ["the quick brown fox jumps",   # 4/5 overlap
+                           "nothing shared here at all",
+                           ""]})
+    out = ContaminationStage(ref, k=1, threshold=0.5)(t)
+    assert out["n_overlap"].to_pylist() == [4, 0, 0]
+    assert out["contaminated"].to_pylist() == [True, False, False]
+    fr = out["overlap_frac"].to_pylist()
+    assert abs(fr[0] - 0.8) < 1e-12
+
+    # distributed over a Dataset
+    ds = rd.from_arrow(_docs())
+    flagged = pa.table(ds.map_batches(
+        ContaminationStage, fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"k": 1, "threshold": 0.3},
+        batch_format="pyarrow", concurrency=2).to_pandas())
+    got = dict(zip(flagged["doc_id"].to_pylist(),
+                   flagged["contaminated"].to_pylist()))
+    assert got[3] is True     # BASE doc contains the fox sentence
+    assert got[0] is False
