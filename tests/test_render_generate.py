@@ -183,3 +183,13 @@ def test_rowlayout_xml_and_category_files(tmp_path):
     bad.write_text('<rowlayout><field name="x" type="gaussian"/></rowlayout>')
     with _pytest.raises(ValueError, match="unsupported rowlayout field type"):
         load_rowlayout(str(bad))
+
+
+def test_velocity_nested_if():
+    from nifi_processors_ray.stages.render import RenderTemplateStage
+
+    t = pa.table({"a": ["1", "2", "3"], "b": ["x", "y", "x"]})
+    stage = RenderTemplateStage(
+        '#if($a > 1)#if($b == "x")big-x#else big-other#end#else small#end',
+        output_col="content", keep_input_cols=False)
+    assert stage(t)["content"].to_pylist() == [" small", " big-other", "big-x"]
