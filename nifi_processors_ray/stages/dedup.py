@@ -547,9 +547,9 @@ def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         sims = sims[idx]
         ai, bi = np.triu_indices(len(uniq), k=1)
         x = sims[ai] ^ sims[bi]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for s in range(64):
-            ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+        from .similarity import _popcount64
+
+        ham = _popcount64(x)
         keep = ham <= max_hamming
         return pa.table(
             {
