@@ -93,44 +93,67 @@ class BruteForceTopK:
         )
 
 
+def _rank_topk(qid: np.ndarray, vid: np.ndarray, sc: np.ndarray, k: int
+               ) -> np.ndarray:
+    """Boolean mask selecting, per query, the k best (score desc, id asc)
+    rows — vectorized lexsort + per-group rank. Rows arrive in the mask's
+    sorted order via the returned (mask, order) pair's composition, so
+    callers index with ``order[mask]``."""
+    order = np.lexsort((vid, -sc, qid))
+    qs = qid[order]
+    new_q = np.ones(len(qs), dtype=bool)
+    new_q[1:] = qs[1:] != qs[:-1]
+    rank = np.arange(len(qs)) - np.maximum.accumulate(
+        np.where(new_q, np.arange(len(qs)), 0))
+    return order[rank < k]
+
+
 def knn_topk(ds, query_ids, query_matrix, *, id_col: str = "vec_id",
              vec_col: str = "embedding", k: int = 10,
              exclude_self: bool = True) -> pa.Table:
-    """Exact cosine top-k: distributed partials + tiny driver merge.
-    Returns (query_id, vec_id, score) with per-query k rows, score-desc,
-    ties broken by ascending vec_id (deterministic)."""
+    """Exact cosine top-k: distributed per-batch partials, a SHUFFLE-FREE
+    intermediate combine pass (per ~64Ki partial rows keep k+1 per query —
+    bounds what reaches the driver even when the corpus has millions of
+    blocks), then a tiny driver merge. Returns (query_id, vec_id, score)
+    with per-query k rows, score-desc, ties broken by ascending vec_id
+    (deterministic)."""
     import ray
 
     ref = ray.put((np.asarray(query_ids, dtype=np.int64),
                    np.asarray(query_matrix, dtype=np.float64)))
-    partials = pa.table(ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(ref,),
-        fn_constructor_kwargs={"id_col": id_col, "vec_col": vec_col, "k": k},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=4,
-    ).to_pandas())
-    # vectorized merge of the (<= (k+1) x queries x batches) partial rows:
-    # lexsort by (query, score desc, id asc), then keep the first k per query
+
+    def combine(batch: pa.Table) -> pa.Table:
+        sel = _rank_topk(np.asarray(batch["query_id"], dtype=np.int64),
+                         np.asarray(batch[id_col], dtype=np.int64),
+                         np.asarray(batch["score"], dtype=np.float64),
+                         k + 1)
+        return batch.take(pa.array(sel))
+
+    partials = pa.table(
+        ds.map_batches(
+            BruteForceTopK,
+            fn_constructor_args=(ref,),
+            fn_constructor_kwargs={"id_col": id_col, "vec_col": vec_col,
+                                   "k": k},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=4,
+        )
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True,
+                     batch_size=65536)
+        .to_pandas())
     qid = np.asarray(partials["query_id"], dtype=np.int64)
     vid = np.asarray(partials[id_col], dtype=np.int64)
     sc = np.asarray(partials["score"], dtype=np.float64)
     if exclude_self:
         keep = vid != qid
         qid, vid, sc = qid[keep], vid[keep], sc[keep]
-    order = np.lexsort((vid, -sc, qid))
-    qs, vs, ss = qid[order], vid[order], sc[order]
-    new_q = np.ones(len(qs), dtype=bool)
-    new_q[1:] = qs[1:] != qs[:-1]
-    rank = np.arange(len(qs)) - np.maximum.accumulate(
-        np.where(new_q, np.arange(len(qs)), 0))
-    top = rank < k
+    sel = _rank_topk(qid, vid, sc, k)
     return pa.table(
         {
-            "query_id": pa.array(qs[top]),
-            id_col: pa.array(vs[top]),
-            "score": pa.array(ss[top]),
+            "query_id": pa.array(qid[sel]),
+            id_col: pa.array(vid[sel]),
+            "score": pa.array(sc[sel]),
         }
     )
 
