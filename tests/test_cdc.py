@@ -468,3 +468,37 @@ def test_verify_integrity_and_gc(tmp_path):
     rep4 = lake.verify_integrity()
     assert rep4["ok"], rep4
     assert replay_verify(lake, expected_snapshot(_events()))
+
+
+def test_snapshot_isolation_in_flight_epoch_invisible(tmp_path):
+    """Readers see only manifest-committed epochs: a delta fragment written
+    by an in-flight (not yet fenced) epoch must be invisible to read() /
+    read_table() / changes() until its manifest lands."""
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    ingest_stream(lake, _epoch_datasets()[:2])
+    before = lake.read_table()
+
+    # simulate an in-flight epoch: fragments on disk, no manifest yet
+    import shutil
+    frag_dir = tmp_path / "lake" / "deltas"
+    committed = set(os.listdir(frag_dir))
+    per = N // EPOCHS
+    extra = rd.from_arrow(change_stream_batch(2 * per, per, seed=7,
+                                              n_repos=20, paths_per_repo=50))
+    lake.apply_epoch(extra, 2)
+    mpath = tmp_path / "lake" / "_manifests" / "epoch-2.json"
+    stashed = mpath.read_bytes()
+    mpath.unlink()  # crash before the fence landed
+
+    assert lake.read_table().equals(before)
+    assert pa.table(lake.read().to_pandas()).num_rows == before.num_rows
+    assert set(pa.table(lake.changes().to_pandas())["_epoch"].to_pylist()) \
+        == {0, 1}
+    # the in-flight fragments are orphans to fsck, not corruption
+    rep = lake.verify_integrity()
+    assert rep["ok"] and len(rep["orphans"]) > 0
+
+    # fence lands -> epoch becomes visible atomically
+    mpath.write_bytes(stashed)
+    assert lake.read_table().num_rows >= before.num_rows
+    assert 2 in set(pa.table(lake.changes().to_pandas())["_epoch"].to_pylist())
