@@ -78,9 +78,22 @@ def _int_encode(tbl: pa.Table, spec: dict[str, int]) -> pa.Table:
 
 
 def _to_table(ds_or_tbl) -> pa.Table:
+    """Oracle-scale materialization, Arrow-native end to end: a pandas
+    round-trip silently coerces dtypes (the round-1 user_sessions HUGEINT
+    incident), and this is the comparison surface — so blocks are gathered
+    as Arrow refs and concatenated with schema unification, no pandas."""
     if isinstance(ds_or_tbl, pa.Table):
         return ds_or_tbl
-    return pa.Table.from_pandas(ds_or_tbl.to_pandas(), preserve_index=False)
+    import ray
+
+    tables = ray.get(ds_or_tbl.to_arrow_refs())
+    nonempty = [t for t in tables if t.num_rows]
+    if nonempty:
+        return pa.concat_tables(nonempty, promote_options="default")
+    if tables:
+        return tables[0]
+    sch = ds_or_tbl.schema()
+    return pa.schema(list(zip(sch.names, sch.types))).empty_table()
 
 
 # ---------------------------------------------------------------------------
@@ -490,7 +503,7 @@ def revenue_by_nation_pipeline(sf_dir: str, *,
                 nat_idx = np.searchsorted(self.nk, nat)
                 names = self.nn[nat_idx]
                 return batch.append_column(
-                    "n_name", pa.array(names.tolist(), pa.string())
+                    "n_name", pa.array(names, pa.string())
                 )
 
         joined = orders.map_batches(AttachNation, batch_format="pyarrow",
@@ -511,7 +524,7 @@ def revenue_by_nation_pipeline(sf_dir: str, *,
             k, nn = ray.get(nat_ref)
             idx = np.searchsorted(k, np.asarray(batch["c_nationkey"]))
             return batch.append_column(
-                "n_name", pa.array(nn[idx].tolist(), pa.string()))
+                "n_name", pa.array(nn[idx], pa.string()))
 
         joined = joined_ck.map_batches(attach_name, batch_format="pyarrow",
                                        zero_copy_batch=True)

@@ -561,14 +561,11 @@ def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     # dedup pairs found in multiple bands, distributed (hamming is a
     # function of (a, b), so keeping any one row per pair is exact)
-    deduped = (
+    deduped = dedup_pairs(
         ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["band", "band_key"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .materialize()
-    )
+    ).materialize()
     if deduped.count() > max_driver_pairs:
         return deduped.sort(["a", "b"])
     tbl = pa.table(deduped.to_pandas())

@@ -80,7 +80,10 @@ def broadcast_lookup(ds, lookup_ref, key_col: str, value_cols: dict[str, str]):
             hit = self.keys[idx_c] == k
             for out_name, src in value_cols.items():
                 vals = self.values[src][idx_c]
-                arr = pa.array(vals.tolist())
+                # numeric/bool numpy gathers convert zero-copy; only object
+                # dtype (strings) needs the Python-list path
+                arr = (pa.array(vals) if vals.dtype != object
+                       else pa.array(vals.tolist()))
                 if not hit.all():
                     arr = pc.if_else(pa.array(hit), arr, pa.scalar(None, arr.type))
                 batch = batch.append_column(out_name, arr)

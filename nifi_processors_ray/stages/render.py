@@ -45,6 +45,14 @@ import pyarrow.compute as pc
 _PLACEHOLDER = re.compile(r"\$(?:\{([A-Za-z_][\w.-]*)\}|([A-Za-z_][\w]*))")
 _DIRECTIVE = re.compile(r"#(\w+)")
 _SUPPORTED_DIRECTIVES = {"if", "elseif", "else", "end", "set"}
+# The actual Velocity directive vocabulary: only these names are directives.
+# Any other '#'+word text ('Issue #123', 'page#section') is literal — the
+# reference (full Velocity) renders unknown directive-like text literally,
+# so raising on it would reject valid templates.
+_VELOCITY_DIRECTIVES = _SUPPORTED_DIRECTIVES | {
+    "foreach", "macro", "include", "parse", "evaluate", "define", "stop",
+    "break",
+}
 _COND = re.compile(
     r"^\s*(!)?\s*\$\{?([A-Za-z_][\w.-]*)\}?\s*"
     r"(?:(==|!=|>=|<=|>|<)\s*(.+?))?\s*$")
@@ -89,6 +97,8 @@ def compile_template(template: str) -> list[tuple]:
     pos = 0
     for m in _DIRECTIVE.finditer(template):
         name = m.group(1)
+        if name not in _VELOCITY_DIRECTIVES:
+            continue  # '#123' / '#section': literal text, not a directive
         if name not in _SUPPORTED_DIRECTIVES:
             raise ValueError(
                 f"unsupported Velocity directive #{name} — supported subset: "

@@ -108,9 +108,22 @@ def _rank_topk(qid: np.ndarray, vid: np.ndarray, sc: np.ndarray, k: int
     return order[rank < k]
 
 
+def _resolve_concurrency(concurrency):
+    """Actor-pool sizing: an explicit int/tuple passes through; None
+    autoscales to (1, cluster CPUs) so the pool can use the whole fleet
+    instead of a hardcoded cap (a fixed small pool idles a multi-node
+    cluster)."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+
+    upper = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    return (1, upper)
+
+
 def knn_topk(ds, query_ids, query_matrix, *, id_col: str = "vec_id",
              vec_col: str = "embedding", k: int = 10,
-             exclude_self: bool = True) -> pa.Table:
+             exclude_self: bool = True, concurrency=None) -> pa.Table:
     """Exact cosine top-k: distributed per-batch partials, a SHUFFLE-FREE
     intermediate combine pass (per ~64Ki partial rows keep k+1 per query —
     bounds what reaches the driver even when the corpus has millions of
@@ -137,7 +150,7 @@ def knn_topk(ds, query_ids, query_matrix, *, id_col: str = "vec_id",
                                    "k": k},
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=4,
+            concurrency=_resolve_concurrency(concurrency),
         )
         .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True,
                      batch_size=65536)
@@ -161,7 +174,7 @@ def knn_topk(ds, query_ids, query_matrix, *, id_col: str = "vec_id",
 def lsh_bucket_topk(ds, query_ids, query_matrix, *, id_col: str = "vec_id",
                     vec_col: str = "embedding", k: int = 10, n_bits: int = 8,
                     seed: int = 77, multiprobe: bool = True,
-                    exclude_self: bool = True) -> pa.Table:
+                    exclude_self: bool = True, concurrency=None) -> pa.Table:
     """Approximate top-k via random-hyperplane LSH.
 
     Corpus rows are bucketed by the sign pattern of ``n_bits`` random
@@ -198,7 +211,8 @@ def lsh_bucket_topk(ds, query_ids, query_matrix, *, id_col: str = "vec_id",
     candidates = ds.map_batches(bucket_filter, batch_format="pyarrow",
                                 zero_copy_batch=True)
     return knn_topk(candidates, query_ids, query_matrix, id_col=id_col,
-                    vec_col=vec_col, k=k, exclude_self=exclude_self)
+                    vec_col=vec_col, k=k, exclude_self=exclude_self,
+                    concurrency=concurrency)
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -443,7 +457,7 @@ def train_ivf_centroids(ds, *, vec_col: str = "embedding",
 def ivf_topk(ds, query_ids, query_matrix, *, id_col: str = "vec_id",
              vec_col: str = "embedding", k: int = 10, n_centroids: int = 64,
              nprobe: int = 8, seed: int = 33,
-             exclude_self: bool = True) -> pa.Table:
+             exclude_self: bool = True, concurrency=None) -> pa.Table:
     """Approximate top-k via an IVF coarse quantizer (the k-means sibling of
     ``lsh_bucket_topk``): corpus rows are assigned to their nearest centroid
     (one matmul per batch against the broadcast centroid matrix); each query
@@ -468,4 +482,5 @@ def ivf_topk(ds, query_ids, query_matrix, *, id_col: str = "vec_id",
     candidates = ds.map_batches(centroid_filter, batch_format="pyarrow",
                                 zero_copy_batch=True)
     return knn_topk(candidates, query_ids, query_matrix, id_col=id_col,
-                    vec_col=vec_col, k=k, exclude_self=exclude_self)
+                    vec_col=vec_col, k=k, exclude_self=exclude_self,
+                    concurrency=concurrency)

@@ -106,6 +106,24 @@ def test_knn_topk_matches_numpy():
     assert s == sorted(s, reverse=True)
 
 
+def test_knn_topk_concurrency_kwarg_and_autoscale():
+    """The scoring actor pool is caller-sizable (explicit int passes
+    through) and autoscales to the cluster when unset — a hardcoded pool
+    would idle a multi-node fleet (round-2 verdict #3)."""
+    from nifi_processors_ray.stages.similarity import _resolve_concurrency
+
+    assert _resolve_concurrency(2) == 2
+    assert _resolve_concurrency((1, 8)) == (1, 8)
+    auto = _resolve_concurrency(None)  # Ray is initialised by conftest
+    assert isinstance(auto, tuple) and auto[0] == 1 and auto[1] >= 2
+
+    tbl = _embeddings()
+    m = np.stack(tbl["embedding"].to_pylist())
+    out = knn_topk(rd.from_arrow(tbl), [0], m[:1], k=3, concurrency=2)
+    base = knn_topk(rd.from_arrow(tbl), [0], m[:1], k=3)
+    assert out["vec_id"].to_pylist() == base["vec_id"].to_pylist()
+
+
 def test_lsh_topk_finds_near_duplicate():
     tbl = _embeddings()
     m = np.stack(tbl["embedding"].to_pylist())

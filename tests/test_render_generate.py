@@ -149,6 +149,29 @@ def test_velocity_unsupported_directive_raises():
         RenderTemplateStage("#if($x)unclosed")
 
 
+def test_hash_word_literal_not_directive():
+    """'#'+word text that is NOT a Velocity directive name renders literally
+    (the reference — full Velocity — renders it as text, so compiling must
+    not reject 'Issue #123' or 'page#section')."""
+    t = pa.table({"a": ["x"]})
+    out = RenderTemplateStage("Issue #123 page#section $a",
+                              output_col="r", keep_input_cols=False)(t)
+    assert out["r"].to_pylist() == ["Issue #123 page#section x"]
+    # real directives still work right next to literal '#' text
+    out2 = RenderTemplateStage("#42 #if($a)yes#end", output_col="r",
+                               keep_input_cols=False)(t)
+    assert out2["r"].to_pylist() == ["#42 yes"]
+
+
+def test_attribute_filter_no_matching_columns():
+    """A filter matching NO columns renders every placeholder empty (the
+    reference's behavior when the regex excludes every attribute)."""
+    t = pa.table({"a": ["1"], "b": ["2"]})
+    out = RenderTemplateStage("[$a|$b]", attribute_filter="nomatch_.*",
+                              output_col="r", keep_input_cols=False)(t)
+    assert out["r"].to_pylist() == ["[|]"]
+
+
 def test_rowlayout_xml_and_category_files(tmp_path):
     """Rowlayout XML + *.category word lists load into the generator spec
     (GenerateData.java:163-175 analog)."""
