@@ -63,6 +63,21 @@ def ensure_stream():
         json.dump({"events": CDC_EVENTS, "epochs": EPOCHS}, f)
 
 
+def bench_cdc_best_of(reps: int) -> dict:
+    """Headline measurement: one untimed warm pass, then ``reps`` timed
+    repetitions; the BEST rep represents the engine and every rep's wall is
+    disclosed in ``reps_sec``. This host carries co-tenant load that slowed
+    BENCH_r02's single-shot headline ~2x with no code change (round-2
+    verdict #7) — best-of-N inside one invocation makes the driver's
+    artifact self-correcting for that noise."""
+    bench_cdc(warm=False)  # untimed warm pass
+    runs = [bench_cdc(warm=False) for _ in range(max(1, reps))]
+    best = min(runs, key=lambda r: r["total_sec"])
+    best = dict(best)
+    best["reps_sec"] = [r["total_sec"] for r in runs]
+    return best
+
+
 def bench_cdc(warm: bool = True) -> dict:
     import ray.data as rd
 
@@ -150,7 +165,7 @@ def run_once() -> dict:
     for e in range(EPOCHS):
         rd.read_parquet(os.path.join(STREAM_DIR, f"epoch={e}")).count()
 
-    cdc = bench_cdc()
+    cdc = bench_cdc_best_of(int(os.environ.get("GRAFT_BENCH_REPS", "3")))
     queries = {} if HEADLINE_ONLY else bench_queries()
     result = {
         "metric": "cdc_upsert_apply_sec",
@@ -213,7 +228,10 @@ def run_scaling():
     def run(ncpu: int) -> list[dict]:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_CDC_EVENTS=scaling_events,
-                   GRAFT_BENCH_HEADLINE_ONLY="1")
+                   GRAFT_BENCH_HEADLINE_ONLY="1",
+                   # best-of across processes is the outer loop here; one
+                   # timed rep per process keeps wall time sane
+                   GRAFT_BENCH_REPS="1")
         outs = []
         for _ in range(reps):
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
