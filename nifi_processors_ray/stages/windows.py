@@ -5,17 +5,40 @@ map_batches + groupby().map_groups + sort where semantics allow).
 * ``sessionize``     — gap-based session assignment per key (the streaming
   window the NiFi reference never had; queue order was its only notion of
   time, ExecuteRuleEngine.java:438-444).
+* ``session_stats``  — one row per (key, session) with start/end/count.
 * ``asof_join``      — for each left row, the latest right row with
   ``right.ts <= left.ts`` per key (point-in-time lookup).
 * ``topk_per_group`` — per-batch partial top-k combiner, then a small
   groupby merge — the shuffle ships at most ``k`` rows per (group, batch),
   never the full table.
 
-Partitioning assumptions (documented per the build brief): ``sessionize``
-and ``asof_join`` shuffle by the session/join key and sort *within key
-groups only* — valid because sessions and as-of semantics are per-key;
-there is no global order requirement. Skewed keys concentrate one group's
-work; at scale, salt hot keys upstream or bound group size.
+Partitioning (the 100-TB bound, round-2 verdict #1): no operator here ever
+groups an entire key's history into one task. ``sessionize`` /
+``session_stats`` / ``asof_join`` shuffle on ``(key, time_bucket)`` —
+``bucket = floor(ts / bucket_seconds)`` — so a hot key (Zipf user, popular
+repo) fans out across its time buckets instead of concentrating in a single
+unbounded ``groupby(key)`` group:
+
+* sessionize: per-(key,bucket) local sessions, then a tiny per-key boundary
+  pass over ONE ROW PER (key,bucket) computes each bucket's global session
+  offset (a session spanning buckets merges when the cross-bucket gap is
+  within ``gap_seconds``; chains across many buckets resolve in the same
+  sequential scan). Offsets re-attach via a byte-budget-guarded broadcast
+  join, falling back to a distributed hash join.
+* session_stats: per-(key,bucket) session FRAGMENTS (one row per local
+  session: start/end/count), then a per-key merge over fragments. Per-key
+  merge input is bounded by the key's session/bucket count, not its event
+  count — when a key genuinely has millions of sessions, that is the
+  OUTPUT size and any engine pays it.
+* asof_join: both sides co-group on (key, bucket); each left bucket
+  additionally receives ONE carry row — the latest right row from any
+  earlier bucket — computed from the per-(key,bucket) "last right row"
+  summary (one row per bucket per key).
+
+Pick ``bucket_seconds`` so one key's events per bucket stay task-sized (it
+defaults to ``64 x gap`` / 1 hour). ``max_group_rows`` turns the bound into
+a loud guard: any single group task exceeding it raises instead of silently
+concentrating a hot key.
 """
 
 from __future__ import annotations
@@ -25,63 +48,269 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def sessionize(ds, *, key_col: str, ts_col: str, gap_seconds: float,
-               session_col: str = "session_idx"):
-    """Assign each row a per-key session index: a new session starts when
-    the gap to the previous event of the SAME key exceeds ``gap_seconds``.
-    One groupby shuffle; per-group work is a vectorized sort + cumsum."""
-    gap_us = int(gap_seconds * 1_000_000)
+def _ts_scale(t: pa.DataType) -> int:
+    """Seconds -> time-axis units multiplier (1 for plain integer axes)."""
+    if pa.types.is_timestamp(t):
+        return {"s": 1, "ms": 1_000, "us": 1_000_000,
+                "ns": 1_000_000_000}[t.unit]
+    return 1
 
-    def per_key(group: pa.Table) -> pa.Table:
+
+def _check_group(n: int, max_group_rows: int | None, what: str) -> None:
+    if max_group_rows is not None and n > max_group_rows:
+        raise ValueError(
+            f"{what} task received {n} rows > max_group_rows="
+            f"{max_group_rows}: shrink bucket_seconds so one key's rows per "
+            "time bucket stay task-sized")
+
+
+def _col_type(ds, name: str) -> pa.DataType:
+    sch = ds.schema()
+    return dict(zip(sch.names, sch.types))[name]
+
+
+def _sessionize_parts(ds, *, key_col: str, ts_col: str, gap_i: int,
+                      bucket_i: int, session_col: str,
+                      max_group_rows: int | None):
+    """Shared phase 1: rows labelled with ``_tsb`` (time bucket) and a
+    bucket-LOCAL session index, grouped by (key, bucket) — bounded tasks."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(batch[ts_col], pa.int64()))
+        return batch.append_column("_tsb", pa.array(ts // bucket_i))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        _check_group(group.num_rows, max_group_rows, "sessionize (key,bucket)")
         order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
         g = group.take(order)
         ts = np.asarray(pc.cast(g[ts_col], pa.int64()))
         new = np.ones(len(ts), dtype=np.int64)
         if len(ts) > 1:
-            new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+            new[1:] = (np.diff(ts) > gap_i).astype(np.int64)
         return g.append_column(session_col,
                                pa.array(np.cumsum(new) - 1, pa.int64()))
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby([key_col, "_tsb"])
+            .map_groups(per_bucket, batch_format="pyarrow"))
 
 
-def session_stats(ds, *, key_col: str, ts_col: str, gap_seconds: float):
+def _bucket_offsets(stats, *, key_col: str, gap_i: int,
+                    max_group_rows: int | None):
+    """Per-key sequential scan over one row per (key, bucket): global
+    session offset per bucket. ``offset_b = sum_{b'<b} n_sessions_{b'} -
+    (# boundary merges up to and including b)`` — a bucket whose first
+    event is within ``gap`` of the previous non-empty bucket's last event
+    continues that session (chains across buckets fold in the cumsum)."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        _check_group(g.num_rows, max_group_rows, "session offsets (buckets/key)")
+        order = pc.sort_indices(g, sort_keys=[("_tsb", "ascending")])
+        t = g.take(order)
+        n_sess = np.asarray(t["_nmax"], dtype=np.int64) + 1
+        first = np.asarray(t["_first"])
+        last = np.asarray(t["_last"])
+        m = len(n_sess)
+        merge = np.zeros(m, dtype=np.int64)
+        if m > 1:
+            merge[1:] = (first[1:] - last[:-1] <= gap_i).astype(np.int64)
+        prev_cum = np.concatenate([[0], np.cumsum(n_sess)[:-1]])
+        offset = prev_cum - np.cumsum(merge)
+        return pa.table({key_col: t[key_col], "_tsb": t["_tsb"],
+                         "_offset": pa.array(offset, pa.int64())})
+
+    return stats.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def sessionize(ds, *, key_col: str, ts_col: str, gap_seconds: float,
+               session_col: str = "session_idx",
+               bucket_seconds: float | None = None,
+               max_group_rows: int | None = None,
+               max_broadcast_bytes: int | None = None,
+               num_partitions: int = 16):
+    """Assign each row a per-key session index: a new session starts when
+    the gap to the previous event of the SAME key exceeds ``gap_seconds``.
+
+    Bounded composition (module docstring): (key, time-bucket) grouped
+    local sessions -> tiny per-key offset scan -> offsets re-attached by a
+    broadcast pyarrow join per batch (byte-guarded; distributed hash-join
+    fallback past the budget)."""
+    from .joins import DEFAULT_BROADCAST_BUDGET
+
+    ts_type = _col_type(ds, ts_col)
+    scale = _ts_scale(ts_type)
+    gap_i = max(1, int(gap_seconds * scale))
+    bucket_i = max(gap_i, int((bucket_seconds if bucket_seconds is not None
+                               else gap_seconds * 64) * scale))
+
+    part = _sessionize_parts(
+        ds, key_col=key_col, ts_col=ts_col, gap_i=gap_i, bucket_i=bucket_i,
+        session_col=session_col, max_group_rows=max_group_rows,
+    ).materialize()  # consumed twice (stats + offset attach)
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            key_col: batch[key_col], "_tsb": batch["_tsb"],
+            "_sid": batch[session_col],
+            "_ts": pc.cast(batch[ts_col], pa.int64()),
+        })
+        agg = t.group_by([key_col, "_tsb"]).aggregate(
+            [("_sid", "max"), ("_ts", "min"), ("_ts", "max")])
+        return pa.table({
+            key_col: agg[key_col], "_tsb": agg["_tsb"],
+            "_nmax": agg["_sid_max"], "_first": agg["_ts_min"],
+            "_last": agg["_ts_max"],
+        })
+
+    def stat_merge(g: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: g[key_col].slice(0, 1),
+            "_tsb": g["_tsb"].slice(0, 1),
+            "_nmax": pa.array([pc.max(g["_nmax"]).as_py()], pa.int64()),
+            "_first": pa.array([pc.min(g["_first"]).as_py()], pa.int64()),
+            "_last": pa.array([pc.max(g["_last"]).as_py()], pa.int64()),
+        })
+
+    stats = (part.map_batches(stat_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .groupby([key_col, "_tsb"])
+             .map_groups(stat_merge, batch_format="pyarrow"))
+    offsets = _bucket_offsets(stats, key_col=key_col, gap_i=gap_i,
+                              max_group_rows=max_group_rows).materialize()
+
+    budget = (max_broadcast_bytes if max_broadcast_bytes is not None
+              else DEFAULT_BROADCAST_BUDGET)
+    if offsets.size_bytes() <= budget:
+        import ray
+
+        off_tables = [t for t in ray.get(offsets.to_arrow_refs())
+                      if t.num_rows]
+        off_tbl = (pa.concat_tables(off_tables, promote_options="default")
+                   if off_tables else
+                   pa.table({key_col: pa.array([], _col_type(ds, key_col)),
+                             "_tsb": pa.array([], pa.int64()),
+                             "_offset": pa.array([], pa.int64())}))
+        ref = ray.put(off_tbl)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            off = ray.get(ref)
+            j = batch.join(off, keys=[key_col, "_tsb"], join_type="inner")
+            sid = pc.cast(pc.add(j[session_col], j["_offset"]), pa.int64())
+            j = j.set_column(j.column_names.index(session_col), session_col,
+                             sid)
+            return j.drop_columns(["_tsb", "_offset"])
+
+        return part.map_batches(attach, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    joined = part.join(offsets, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=(key_col, "_tsb"))
+
+    def attach_joined(batch: pa.Table) -> pa.Table:
+        sid = pc.cast(pc.add(batch[session_col], batch["_offset"]), pa.int64())
+        batch = batch.set_column(batch.column_names.index(session_col),
+                                 session_col, sid)
+        return batch.drop_columns(["_tsb", "_offset"])
+
+    return joined.map_batches(attach_joined, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def session_stats(ds, *, key_col: str, ts_col: str, gap_seconds: float,
+                  bucket_seconds: float | None = None,
+                  max_group_rows: int | None = None):
     """Sessionize then reduce to one row per (key, session): start/end
-    timestamps and event count. The reduction happens inside the same
-    per-key group task — no second shuffle."""
-    gap_us = int(gap_seconds * 1_000_000)
+    timestamps and event count.
 
-    def per_key(group: pa.Table) -> pa.Table:
+    Bounded composition: per-(key,bucket) session FRAGMENTS (already
+    aggregated — one narrow row per local session), then one per-key merge
+    over fragments. The heavy shuffle carries event rows grouped by
+    (key, bucket); the per-key step sees fragments only."""
+    ts_type = _col_type(ds, ts_col)
+    scale = _ts_scale(ts_type)
+    gap_i = max(1, int(gap_seconds * scale))
+    bucket_i = max(gap_i, int((bucket_seconds if bucket_seconds is not None
+                               else gap_seconds * 64) * scale))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(batch[ts_col], pa.int64()))
+        return batch.append_column("_tsb", pa.array(ts // bucket_i))
+
+    def frags(group: pa.Table) -> pa.Table:
+        _check_group(group.num_rows, max_group_rows,
+                     "session_stats (key,bucket)")
         order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending")])
         g = group.take(order)
         ts = np.asarray(pc.cast(g[ts_col], pa.int64()))
         n = len(ts)
         new = np.ones(n, dtype=np.int64)
         if n > 1:
-            new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(new) - 1
+            new[1:] = (np.diff(ts) > gap_i).astype(np.int64)
         starts = np.flatnonzero(new)
         ends = np.concatenate([starts[1:], [n]]) - 1
-        ts_type = g[ts_col].type
         return pa.table({
-            key_col: pa.array([g[key_col][0].as_py()] * len(starts),
-                              g[key_col].type),
-            "session_idx": pa.array(sid[starts], pa.int64()),
-            "session_start": pc.cast(pa.array(ts[starts]), ts_type),
-            "session_end": pc.cast(pa.array(ts[ends]), ts_type),
-            "n_events": pa.array(ends - starts + 1, pa.int64()),
+            key_col: g[key_col].take(pa.array(starts)),
+            "_tsb": g["_tsb"].take(pa.array(starts)),
+            "_sid": pa.array(np.arange(len(starts)), pa.int64()),
+            "_start": pa.array(ts[starts], pa.int64()),
+            "_end": pa.array(ts[ends], pa.int64()),
+            "_n": pa.array(ends - starts + 1, pa.int64()),
         })
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    def merge(g: pa.Table) -> pa.Table:
+        _check_group(g.num_rows, max_group_rows,
+                     "session_stats merge (fragments/key)")
+        order = pc.sort_indices(g, sort_keys=[("_tsb", "ascending"),
+                                              ("_sid", "ascending")])
+        t = g.take(order)
+        sid = np.asarray(t["_sid"])
+        starts = np.asarray(t["_start"])
+        ends = np.asarray(t["_end"])
+        cnt = np.asarray(t["_n"])
+        m = len(sid)
+        new = np.ones(m, dtype=bool)
+        if m > 1:
+            # a bucket's FIRST fragment (sid 0) continues the previous
+            # bucket's last session when the boundary gap is within range;
+            # later fragments are real in-bucket gaps -> always new
+            new[1:] = ~((sid[1:] == 0) & (starts[1:] - ends[:-1] <= gap_i))
+        firsts = np.flatnonzero(new)
+        k = len(firsts)
+        return pa.table({
+            key_col: t[key_col].take(pa.array(firsts)),
+            "session_idx": pa.array(np.arange(k), pa.int64()),
+            "session_start": pc.cast(pa.array(starts[firsts]), ts_type),
+            "session_end": pc.cast(
+                pa.array(np.maximum.reduceat(ends, firsts) if k else
+                         np.empty(0, np.int64)), ts_type),
+            "n_events": pa.array(
+                np.add.reduceat(cnt, firsts) if k else np.empty(0, np.int64),
+                pa.int64()),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby([key_col, "_tsb"])
+            .map_groups(frags, batch_format="pyarrow")
+            .groupby(key_col)
+            .map_groups(merge, batch_format="pyarrow"))
 
 
 def asof_join(left, right, *, on: str, by: str, value_cols: list[str],
-              suffix: str = "_right"):
+              suffix: str = "_right", bucket_seconds: float = 3600,
+              max_group_rows: int | None = None):
     """Point-in-time join: attach, to each left row, ``value_cols`` from
     the latest right row with ``right.on <= left.on`` within the same
-    ``by`` key (nulls when none). ONE shuffle: both sides are tagged and
-    co-grouped by key, then a per-group vectorized searchsorted merge —
-    the composition (b) pattern for operators Ray Data lacks natively."""
+    ``by`` key (nulls when none).
+
+    Bounded composition (module docstring): both sides co-group on
+    ``(by, time_bucket)`` — never a whole key — and each left bucket gets
+    ONE extra "carry" right row (the latest right row from any earlier
+    bucket), derived from a per-(key,bucket) last-row summary plus a tiny
+    per-key scan. Heavy shuffle groups are bounded by one key's rows in one
+    ``bucket_seconds`` window."""
     side_col = "_asof_side"
 
     l_schema, r_schema = left.schema(), right.schema()
@@ -89,44 +318,103 @@ def asof_join(left, right, *, on: str, by: str, value_cols: list[str],
     r_types = dict(zip(r_schema.names, r_schema.types))
     l_names = list(l_schema.names)
     out_names = {c: (c + suffix if c in l_names else c) for c in value_cols}
-
-    def tag(side: int, cols: list[str], all_cols: dict[str, pa.DataType]):
-        def f(batch: pa.Table) -> pa.Table:
-            batch = batch.select([c for c in cols if c in batch.column_names])
-            n = batch.num_rows
-            for name, typ in all_cols.items():
-                if name not in batch.column_names:
-                    batch = batch.append_column(name, pa.nulls(n, typ))
-            batch = batch.select(sorted(all_cols))
-            return batch.append_column(
-                side_col, pa.array(np.full(n, side, dtype=np.int8)))
-        return f
+    on_type = dict(zip(l_schema.names, l_schema.types))[on]
+    width = max(1, int(bucket_seconds * _ts_scale(on_type)))
 
     unified: dict[str, pa.DataType] = {n: t for n, t in
                                        zip(l_schema.names, l_schema.types)}
-    for c in keep_right:
-        if c not in (by, on):
-            unified[f"_r_{c}"] = r_types[c]
+    for c in value_cols:
+        unified[f"_r_{c}"] = r_types[c]
+    unified["_tsb"] = pa.int64()
+    cols_sorted = sorted(unified)
+
+    def _pad(batch: pa.Table, side: int) -> pa.Table:
+        n = batch.num_rows
+        for name, typ in unified.items():
+            if name not in batch.column_names:
+                batch = batch.append_column(name, pa.nulls(n, typ))
+        batch = batch.select(cols_sorted)
+        return batch.append_column(
+            side_col, pa.array(np.full(n, side, dtype=np.int8)))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        batch = batch.select([c for c in l_names if c in batch.column_names])
+        ts = np.asarray(pc.cast(batch[on], pa.int64()))
+        return _pad(batch.append_column("_tsb", pa.array(ts // width)), 0)
 
     def tag_right(batch: pa.Table) -> pa.Table:
         batch = batch.select(keep_right)
         batch = batch.rename_columns(
             [c if c in (by, on) else f"_r_{c}" for c in keep_right])
-        n = batch.num_rows
-        for name, typ in unified.items():
-            if name not in batch.column_names:
-                batch = batch.append_column(name, pa.nulls(n, typ))
-        batch = batch.select(sorted(unified))
-        return batch.append_column(
-            side_col, pa.array(np.full(n, 1, dtype=np.int8)))
+        ts = np.asarray(pc.cast(batch[on], pa.int64()))
+        return _pad(batch.append_column("_tsb", pa.array(ts // width)), 1)
 
-    lt = left.map_batches(tag(0, l_names, unified), batch_format="pyarrow",
+    lt = left.map_batches(tag_left, batch_format="pyarrow",
                           zero_copy_batch=True)
     rt = right.map_batches(tag_right, batch_format="pyarrow",
                            zero_copy_batch=True)
-    both = lt.union(rt)
+
+    def _keep_last(t: pa.Table) -> pa.Table:
+        """One row per (by, _tsb): the max-``on`` one (vectorized)."""
+        n = t.num_rows
+        if n <= 1:
+            return t
+        narrow = t.select([by, "_tsb", on])
+        idx = pc.sort_indices(narrow, sort_keys=[
+            (by, "ascending"), ("_tsb", "ascending"), (on, "descending")])
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        for k in (by, "_tsb"):
+            arr = pc.take(narrow[k], idx).combine_chunks()
+            neq = pc.invert(pc.equal(arr.slice(1), arr.slice(0, n - 1)))
+            first[1:] |= np.asarray(neq.fill_null(True))
+        return t.take(pa.array(np.asarray(idx)[first]))
+
+    # per-(key,bucket) last right row: per-batch combiner -> tiny groupby
+    rights_last = (rt.map_batches(_keep_last, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                   .groupby([by, "_tsb"])
+                   .map_groups(_keep_last, batch_format="pyarrow"))
+
+    # distinct (key,bucket) pairs present on the LEFT side (narrow rows)
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        return batch.select([by, "_tsb"]).group_by([by, "_tsb"]).aggregate([])
+
+    left_buckets = (lt.map_batches(distinct_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                    .groupby([by, "_tsb"])
+                    .map_groups(lambda g: g.slice(0, 1),
+                                batch_format="pyarrow")
+                    .map_batches(lambda b: _pad(b, 0),
+                                 batch_format="pyarrow"))
+
+    def make_carries(group: pa.Table) -> pa.Table:
+        _check_group(group.num_rows, max_group_rows,
+                     "asof carries (buckets/key)")
+        side = np.asarray(group[side_col])
+        r = group.filter(pa.array(side == 1))
+        l = group.filter(pa.array(side == 0))
+        if r.num_rows == 0 or l.num_rows == 0:
+            return group.slice(0, 0)
+        r = r.take(pc.sort_indices(r, sort_keys=[("_tsb", "ascending")]))
+        r_tsb = np.asarray(r["_tsb"])
+        l_tsb = np.unique(np.asarray(l["_tsb"]))
+        idx = np.searchsorted(r_tsb, l_tsb, side="left") - 1
+        valid = idx >= 0
+        if not valid.any():
+            return group.slice(0, 0)
+        out = r.take(pa.array(idx[valid]))
+        return out.set_column(out.column_names.index("_tsb"), "_tsb",
+                              pa.array(l_tsb[valid]))
+
+    carries = (rights_last.union(left_buckets)
+               .groupby(by)
+               .map_groups(make_carries, batch_format="pyarrow"))
+
+    both = lt.union(rt).union(carries)
 
     def merge(group: pa.Table) -> pa.Table:
+        _check_group(group.num_rows, max_group_rows, "asof merge (key,bucket)")
         side = np.asarray(group[side_col])
         l = group.filter(pa.array(side == 0)).select(l_names)
         r = group.filter(pa.array(side == 1))
@@ -152,7 +440,7 @@ def asof_join(left, right, *, on: str, by: str, value_cols: list[str],
             l = l.append_column(out_names[c], vals)
         return l
 
-    return both.groupby(by).map_groups(merge, batch_format="pyarrow")
+    return both.groupby([by, "_tsb"]).map_groups(merge, batch_format="pyarrow")
 
 
 def topk_per_group(ds, *, group_col: str, order_col: str, k: int,

@@ -58,6 +58,163 @@ def test_asof_join_latest_prior():
     assert np.isnan(got[3])
 
 
+def test_sessionize_cross_bucket_chain_merges():
+    """A session spanning MANY time buckets must keep one session index
+    (the per-key offset scan folds merge chains), and bucket-local indices
+    must still split where real gaps are."""
+    # key 1: events every 40s for 50 events (all one session), tiny buckets
+    # (64s) force the session across ~31 buckets; then a 1000s gap, then 3
+    # more events (second session)
+    ts1 = list(range(0, 2000, 40)) + [3000, 3040, 3080]
+    tbl = pa.table({
+        "user": pa.array([1] * len(ts1), pa.int64()),
+        "ts": pa.array([v * 1_000_000 for v in ts1], pa.timestamp("us")),
+    })
+    out = pa.table(sessionize(rd.from_arrow(tbl), key_col="user",
+                              ts_col="ts", gap_seconds=50,
+                              bucket_seconds=64).to_pandas())
+    df = out.to_pandas().sort_values("ts").reset_index(drop=True)
+    assert df["session_idx"].tolist() == [0] * 50 + [1, 1, 1]
+
+    st = session_stats(rd.from_arrow(tbl), key_col="user", ts_col="ts",
+                       gap_seconds=50, bucket_seconds=64).to_pandas()
+    st = st.sort_values("session_idx").reset_index(drop=True)
+    assert st["n_events"].tolist() == [50, 3]
+    assert st.loc[0, "session_start"] == np.datetime64(0, "us")
+    assert st.loc[0, "session_end"] == np.datetime64(1960 * 1_000_000, "us")
+    assert st.loc[1, "session_start"] == np.datetime64(3000 * 1_000_000, "us")
+
+
+def test_sessionize_matches_unbounded_reference():
+    """Bucketed implementation == brute-force per-key reference on random
+    data, for several bucket widths (any width must give identical output)."""
+    rng = np.random.default_rng(11)
+    n = 3000
+    keys = rng.integers(0, 5, n)
+    ts = np.sort(rng.integers(0, 500_000, n)).astype(np.int64)
+    rng.shuffle(ts)
+    tbl = pa.table({"user": pa.array(keys, pa.int64()),
+                    "ts": pa.array(ts * 1_000_000, pa.timestamp("us"))})
+
+    def brute(gap_us):
+        df = tbl.to_pandas().sort_values(["user", "ts"])
+        out = []
+        for _, g in df.groupby("user"):
+            t = g["ts"].astype("int64").to_numpy()
+            new = np.ones(len(t), dtype=np.int64)
+            if len(t) > 1:
+                new[1:] = (np.diff(t) > gap_us).astype(np.int64)
+            sid = np.cumsum(new) - 1
+            out.append(g.assign(session_idx=sid))
+        import pandas as pd
+
+        return (pd.concat(out).sort_values(["user", "ts", "session_idx"])
+                .reset_index(drop=True))
+
+    want = brute(700 * 1_000_000)
+    for bucket in (900, 5000, 1_000_000):
+        got = (sessionize(rd.from_arrow(tbl), key_col="user", ts_col="ts",
+                          gap_seconds=700, bucket_seconds=bucket)
+               .to_pandas().sort_values(["user", "ts", "session_idx"])
+               .reset_index(drop=True))
+        assert got["session_idx"].tolist() == want["session_idx"].tolist(), \
+            f"bucket={bucket}"
+
+        stats = (session_stats(rd.from_arrow(tbl), key_col="user",
+                               ts_col="ts", gap_seconds=700,
+                               bucket_seconds=bucket)
+                 .to_pandas().sort_values(["user", "session_idx"])
+                 .reset_index(drop=True))
+        wstats = (want.groupby(["user", "session_idx"])
+                  .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                       n_events=("ts", "size")).reset_index())
+        assert stats["n_events"].tolist() == wstats["n_events"].tolist()
+        assert stats["session_start"].tolist() == \
+            wstats["session_start"].tolist()
+
+
+def test_hot_key_stays_bounded_sessionize():
+    """1M events on ONE key: with time bucketing no group task may see the
+    whole key (the round-2 scale-killer). max_group_rows turns the bound
+    into a hard assertion inside every group task."""
+    n = 1_000_000
+    ts = np.arange(n, dtype=np.int64) * 60  # one event per minute
+    tbl = pa.table({"user": pa.array(np.ones(n, dtype=np.int64)),
+                    "ts": pa.array(ts * 1_000_000, pa.timestamp("us"))})
+    # gap 1800s -> 60s spacing = ONE giant session; bucket 86400s -> 1440
+    # events per (key, bucket) task, ~695 fragment rows in the merge task
+    out = session_stats(rd.from_arrow(tbl), key_col="user", ts_col="ts",
+                        gap_seconds=1800, bucket_seconds=86400,
+                        max_group_rows=10_000).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "n_events"] == n
+    assert out.loc[0, "session_start"] == np.datetime64(0, "us")
+    assert out.loc[0, "session_end"] == np.datetime64((n - 1) * 60_000_000,
+                                                      "us")
+
+    lab = sessionize(rd.from_arrow(tbl.slice(0, 200_000)), key_col="user",
+                     ts_col="ts", gap_seconds=1800, bucket_seconds=86400,
+                     max_group_rows=10_000)
+    sids = pa.table(lab.to_pandas())["session_idx"]
+    import pyarrow.compute as pc2
+
+    assert pc2.min(sids).as_py() == 0 and pc2.max(sids).as_py() == 0
+
+    # and the guard actually fires when the bucket is too coarse
+    import pytest as _pytest
+
+    with _pytest.raises((ValueError, Exception), match="max_group_rows"):
+        session_stats(rd.from_arrow(tbl), key_col="user", ts_col="ts",
+                      gap_seconds=1800, bucket_seconds=10**9,
+                      max_group_rows=10_000).to_pandas()
+
+
+def test_hot_key_stays_bounded_asof():
+    """asof_join on one hot key: (key, bucket) co-groups + carry rows keep
+    every task bounded and results exact across bucket boundaries."""
+    n = 200_000
+    l_ts = np.arange(n, dtype=np.int64) * 10  # every 10s
+    left = pa.table({"k": pa.array(np.ones(n, dtype=np.int64)),
+                     "t": pa.array(l_ts)})
+    # sparse right: one row every ~997s (buckets of 3600 raw units since
+    # int axis); many left buckets have no right row -> carry path
+    r_ts = np.arange(0, n * 10, 997, dtype=np.int64)
+    right = pa.table({"k": pa.array(np.ones(len(r_ts), dtype=np.int64)),
+                      "t": pa.array(r_ts),
+                      "price": pa.array(r_ts.astype(np.float64))})
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right), on="t",
+                    by="k", value_cols=["price"], bucket_seconds=3600,
+                    max_group_rows=50_000).to_pandas()
+    out = out.sort_values("t").reset_index(drop=True)
+    # expected: floor(t / 997) * 997
+    expect = (l_ts // 997) * 997
+    assert np.array_equal(out["price"].to_numpy(), expect.astype(float))
+
+    import pytest as _pytest
+
+    with _pytest.raises((ValueError, Exception), match="max_group_rows"):
+        asof_join(rd.from_arrow(left), rd.from_arrow(right), on="t",
+                  by="k", value_cols=["price"], bucket_seconds=10**12,
+                  max_group_rows=50_000).to_pandas()
+
+
+def test_asof_join_carry_across_empty_buckets():
+    """The carry must come from the latest EARLIER bucket even when many
+    empty buckets separate it from the left row, and same-bucket later
+    right rows must not match."""
+    left = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                     "t": pa.array([50, 10_050, 10_020], pa.int64())})
+    right = pa.table({"k": pa.array([1, 1], pa.int64()),
+                      "t": pa.array([40, 10_040], pa.int64()),
+                      "v": pa.array([7.0, 9.0])})
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right), on="t",
+                    by="k", value_cols=["v"], bucket_seconds=100).to_pandas()
+    got = dict(zip(out["t"], out["v"]))
+    assert got[50] == 7.0          # same bucket
+    assert got[10_050] == 9.0      # same bucket, later right row
+    assert got[10_020] == 7.0      # carry across ~99 empty buckets
+
+
 def test_topk_per_group_matches_pandas():
     rng = np.random.default_rng(5)
     t = pa.table({
