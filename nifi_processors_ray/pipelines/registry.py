@@ -926,14 +926,83 @@ FROM d CROSS JOIN bench
 """
 
 
+def _planted_docs(sf_dir: str):
+    """documents ∪ exact copies of the doc_id % 101 == 7 slice with
+    NEGATIVE ids (-1 - doc_id). Negative planted ids are the LOWEST ids, so
+    the deterministic lowest-ids-win bucket cap can never evict them
+    (round-2 advice: high planted ids break scale-dependently)."""
+    import pyarrow.parquet as pq
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    sub = base.filter(pa.array(np.asarray(base["doc_id"]) % 101 == 7))
+    dup = pa.table({
+        "doc_id": pc.subtract(pa.scalar(-1, pa.int64()), sub["doc_id"]),
+        "text": sub["text"],
+    })
+    return docs.union(_rd().from_arrow(dup))
+
+
 def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH dedup with a DETERMINISTIC exact oracle. Exact copies of
+    the doc_id % 101 == 7 slice are unioned in (negative ids, cap-proof);
+    threshold 1.0 over k=1 shingles keeps exactly the pairs with IDENTICAL
+    distinct-token SETS (identical sets -> identical MinHash signatures ->
+    co-bucketed in every band -> candidate; verification Jaccard is 1.0
+    iff the sets are equal). Connected components of that relation are the
+    equal-token-set equivalence classes — SQL-stateable by grouping on the
+    sorted distinct-token list. The organic corpus has such groups too
+    (same-token-set docs), so this exercises discovery, not just the
+    plant; approximate thresholds stay pinned in pytest
+    (minhash_dedup_near)."""
+    return minhash_dedup(_planted_docs(sf_dir), threshold=1.0, shingle_k=1)
+
+
+SQL_MINHASH_DEDUP = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT -1 - doc_id AS doc_id, text FROM documents WHERE doc_id % 101 = 7),
+d AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(
+             regexp_extract_all(text, '\\S+'))), ' ') AS tokset
+  FROM all_docs),
+g AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY tokset) AS cluster_id,
+         COUNT(*) OVER (PARTITION BY tokset) AS cnt
+  FROM d)
+SELECT doc_id, cluster_id FROM g WHERE cnt >= 2
+"""
+
+
+def q_minhash_dedup_near(sf_dir: str):
+    """Approximate-threshold MinHash dedup (threshold 0.5, k=3 shingles) —
+    the production configuration; recall/precision pinned in pytest
+    (no SQL oracle: banding recall is probabilistic by construction)."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_dedup(docs, threshold=0.5)
 
 
 def q_simhash_pairs(sf_dir: str):
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_dedup(docs, max_hamming=3)
+    """SimHash near-dup pairs with a DETERMINISTIC oracle: exact copies
+    (negative ids) share every 16-bit band, so each planted pair is always
+    co-bucketed and verifies at Hamming 0. Output is restricted to pairs
+    with a + b == -1 — exactly the planted (copy, original) pairs and
+    nothing else (organic pairs have a, b >= 0; a mixed pair (-1-x, y)
+    sums to -1 only when y == x). Full-output behavior is pinned in
+    pytest."""
+    out = simhash_dedup(_planted_docs(sf_dir), max_hamming=3)
+    keep = pc.equal(pc.add(out["a"], out["b"]), pa.scalar(-1, pa.int64()))
+    return out.filter(keep)
+
+
+SQL_SIMHASH_PAIRS = """
+SELECT -1 - doc_id AS a, doc_id AS b, CAST(0 AS BIGINT) AS hamming
+FROM documents WHERE doc_id % 101 = 7
+"""
 
 
 def q_ann_topk(sf_dir: str):
@@ -996,6 +1065,50 @@ def q_ann_ivf(sf_dir: str):
                    _to_matrix(qtbl["embedding"]), k=5, n_centroids=32,
                    nprobe=8)
     return _round_cols(out, {"score": 6})
+
+
+def _planted_query_vec(sf_dir: str):
+    """embeddings ∪ one exact copy of query vector 0 under vec_id = -1:
+    an identical vector shares every LSH bucket / nearest centroid, so the
+    approximate paths recover it with probability 1 — a deterministic
+    top-1 regardless of probe recall."""
+    import pyarrow.parquet as pq
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    base = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    q = base.filter(pc.equal(base["vec_id"], 0))
+    dup = pa.table({"vec_id": pa.array([-1], pa.int64()),
+                    "embedding": q["embedding"]})
+    return emb.union(_rd().from_arrow(dup)), q
+
+
+def q_ann_lsh_top1(sf_dir: str):
+    """Exact oracle for the LSH-bucketed ANN path via a planted duplicate
+    (see _planted_query_vec): top-1 for query 0 is the copy at cosine 1.0
+    (the query itself is excluded by exclude_self)."""
+    from ..stages.similarity import _to_matrix
+
+    both, q = _planted_query_vec(sf_dir)
+    out = lsh_bucket_topk(both, [0], _to_matrix(q["embedding"]), k=1,
+                          n_bits=6)
+    return _round_cols(out, {"score": 6})
+
+
+def q_ann_ivf_top1(sf_dir: str):
+    """Exact oracle for the IVF path via the same planted duplicate."""
+    from ..stages.similarity import _to_matrix, ivf_topk
+
+    both, q = _planted_query_vec(sf_dir)
+    out = ivf_topk(both, [0], _to_matrix(q["embedding"]), k=1,
+                   n_centroids=32, nprobe=8)
+    return _round_cols(out, {"score": 6})
+
+
+SQL_ANN_PLANTED_TOP1 = """
+SELECT CAST(0 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS vec_id,
+       1.0 AS score
+"""
 
 
 def q_image_features_ppm(sf_dir: str):
@@ -1220,8 +1333,10 @@ def q_embedding_neardup(sf_dir: str):
     base = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
     sub = base.filter(pc.less(base["vec_id"], 10))
+    # negative planted ids: the deterministic lowest-ids-win bucket cap can
+    # never evict them, so the oracle holds at every scale factor
     dup = pa.table({
-        "vec_id": pc.add(sub["vec_id"], pa.scalar(10_000_000, pa.int64())),
+        "vec_id": pc.subtract(pa.scalar(-1, pa.int64()), sub["vec_id"]),
         "embedding": sub["embedding"],
     })
     both = emb.union(_rd().from_arrow(dup))
@@ -1230,7 +1345,7 @@ def q_embedding_neardup(sf_dir: str):
 
 
 SQL_EMBEDDING_NEARDUP = """
-SELECT vec_id AS a, vec_id + 10000000 AS b, 1.0 AS cosine
+SELECT -1 - vec_id AS a, vec_id AS b, 1.0 AS cosine
 FROM embeddings WHERE vec_id < 10
 """
 
@@ -1394,10 +1509,13 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "minhash_dedup": q_minhash_dedup,
+    "minhash_dedup_near": q_minhash_dedup_near,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_lsh_top1": q_ann_lsh_top1,
+    "ann_ivf_top1": q_ann_ivf_top1,
     "multimodal_features": q_multimodal_features,
     "image_features_ppm": q_image_features_ppm,
     "audio_features_wav": q_audio_features_wav,
@@ -1436,6 +1554,10 @@ ORACLE_SQL = {
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id": SQL_LANG_ID,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "minhash_dedup": SQL_MINHASH_DEDUP,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "ann_lsh_top1": SQL_ANN_PLANTED_TOP1,
+    "ann_ivf_top1": SQL_ANN_PLANTED_TOP1,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "pii_scrub": SQL_PII_SCRUB,
     "decontaminate": SQL_DECONTAMINATE,
@@ -1451,7 +1573,8 @@ ORACLE_SQL = {
     "asof_prior_view": SQL_ASOF_PRIOR_VIEW,
     "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
     # rows-only (non-SQL-expressible): generate_rows (seeded numpy,
-    # pinned-hash pytest instead), fingerprints (SipHash), minhash_dedup /
-    # simhash_pairs (signature hashing), ann_lsh / ann_ivf (approximate recall),
-    # multimodal_features (stubbed decode)
+    # pinned-hash pytest instead), fingerprints (SipHash),
+    # minhash_dedup_near (probabilistic banding recall), ann_lsh / ann_ivf
+    # (approximate recall beyond rank 1 — the planted-duplicate *_top1
+    # variants above ARE oracled)
 }
