@@ -1154,18 +1154,19 @@ def q_video_frames_y4m(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
-    """Media plumbing (decode STUBBED, Ray wiring real): synth binary table
-    -> actor-pool feature stage -> frame sampling explosion."""
-    from ..stages.multimodal import (FrameSampleStage, MediaFeatureStage,
-                                     synthesize_media)
+    """REAL compressed-image decode path: deterministic PNG payloads ->
+    actor-pool zlib-inflate + scanline-unfilter decode + per-channel
+    feature extraction. Pixel equality with the PPM twin is pinned in
+    pytest -> rows-only here. (The round-2 fake decoder is gone; every
+    decode path in stages/multimodal.py is now real.)"""
+    from ..stages.multimodal import ImageFeatureStage, synthesize_png_media
 
     rd = _rd()
-    media = rd.from_arrow(synthesize_media(256, kind="video"))
-    feats = media.map_batches(MediaFeatureStage, batch_format="pyarrow",
-                              batch_size=32, concurrency=2)
-    frames = feats.map_batches(FrameSampleStage, batch_format="pyarrow",
-                               batch_size=32, concurrency=2)
-    return frames.select_columns(["media_id", "frame_idx"])
+    media = rd.from_arrow(synthesize_png_media(256, width=32, height=24))
+    out = media.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                            batch_size=32, concurrency=2)
+    return out.select_columns(["media_id", "decoded_width",
+                               "decoded_height"])
 
 
 def q_reserialize_rows(sf_dir: str):

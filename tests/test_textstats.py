@@ -135,6 +135,105 @@ def test_ppm_roundtrip_resize_and_features():
     assert np.allclose(np.array(again["features"].to_pylist()), f)
 
 
+def test_png_roundtrip_and_all_filter_types():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nifi_processors_ray.stages.multimodal import (_PNG_SIG, _png_chunk,
+                                                       decode_image,
+                                                       decode_png, encode_png)
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    rgb = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(6, 9), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+    assert np.array_equal(decode_png(encode_png(gray)), gray)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+
+    # hand-filtered scanlines exercise ALL FIVE filter types against a
+    # straight reference implementation of the PNG spec
+    h, w, ch = 5, 6, 3
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+    def filt_scanlines():
+        out = bytearray()
+        prev = np.zeros(w * ch, dtype=np.int16)
+        for y, ftype in enumerate([0, 1, 2, 3, 4]):
+            cur = img[y].reshape(-1).astype(np.int16)
+            line = np.zeros(w * ch, dtype=np.int16)
+            for i in range(w * ch):
+                left = cur[i - ch] if i >= ch else 0
+                up = prev[i]
+                ul = prev[i - ch] if i >= ch else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = left
+                elif ftype == 2:
+                    pred = up
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    cands = [(abs(p - left), left), (abs(p - up), up),
+                             (abs(p - ul), ul)]
+                    pred = min(cands, key=lambda t: t[0])[1]
+                line[i] = (cur[i] - pred) % 256
+            out.append(ftype)
+            out.extend(line.astype(np.uint8).tobytes())
+            prev = cur
+        return bytes(out)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(filt_scanlines()))
+               + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), img)
+
+    # decode_image dispatch: gray expands to RGB, RGBA drops alpha
+    assert decode_image(encode_png(gray)).shape == (6, 9, 3)
+    assert np.array_equal(decode_image(encode_png(rgba)), rgba[:, :, :3])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+    with _pytest.raises(ValueError, match="unrecognized image"):
+        decode_image(b"\xff\xd8\xff")
+
+
+def test_png_media_pipeline_matches_ppm_pixels():
+    """The PNG synth pipeline produces the SAME pixels as the PPM twin
+    (same gradient family), so ImageFeatureStage features are identical —
+    pinning the real compressed decode path against the raw one."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.multimodal import (ImageFeatureStage,
+                                                       decode_image,
+                                                       synthesize_png_media,
+                                                       synthesize_ppm_media)
+
+    png = synthesize_png_media(6, width=16, height=12)
+    ppm = synthesize_ppm_media(6, width=16, height=12)
+    for i in range(6):
+        assert np.array_equal(decode_image(png["payload"][i].as_py()),
+                              decode_image(ppm["payload"][i].as_py()))
+    out = pa.table(rd.from_arrow(png).map_batches(
+        ImageFeatureStage, batch_format="pyarrow", batch_size=3,
+        concurrency=2).to_pandas())
+    base = pa.table(rd.from_arrow(ppm).map_batches(
+        ImageFeatureStage, batch_format="pyarrow", batch_size=3,
+        concurrency=2).to_pandas())
+    assert np.allclose(np.array(out["features"].to_pylist()),
+                       np.array(base["features"].to_pylist()))
+    assert set(out["decoded_width"].to_pylist()) == {16}
+
+
 def test_wav_roundtrip_and_audio_features():
     import numpy as np
     import pyarrow as pa
