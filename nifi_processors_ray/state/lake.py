@@ -336,11 +336,31 @@ class _PartitionResolver:
                     k_old: int) -> pa.Table:
         """Resolve sub-partition ``salt`` of ``k`` for ``pid`` whose base
         (version ``base_version``) was written with ``k_old`` salts.
-        ``salt=0, k=1`` resolves the whole pid."""
+        ``salt=0, k=1`` resolves the whole pid.
+
+        ``k_old < 0`` marks a LEGACY base (pre-round-2 compactor: salted
+        sub-files with a possibly non-power-of-two count and no
+        ``partitions`` manifest metadata): ``-k_old`` sub-files exist and
+        the power-of-two alignment math does not apply, so every matching
+        sub-file is read and filtered to this task's (salt, k) slice. The
+        next compaction rewrites such pids into the current layout (the
+        hard-link fast path requires ``k == k_old``, which a negative
+        ``k_old`` can never satisfy)."""
         tables = []
         if base_version >= 0:
             bdir = os.path.join(self.root, "base", f"v={base_version}")
-            if k >= k_old:
+            if k_old < 0:
+                paths = [os.path.join(bdir, f"pid={pid}-s{s}.parquet")
+                         for s in range(-k_old)]
+                paths.append(os.path.join(bdir, f"pid={pid}.parquet"))
+                for p in paths:
+                    if os.path.exists(p):
+                        t = self._read_parquet(p)
+                        if k > 1 and t.num_rows:
+                            mask = self._salt_hash(t) % np.uint64(k) == salt
+                            t = t.filter(pa.array(mask))
+                        tables.append(t)
+            elif k >= k_old:
                 p = self._base_file(bdir, pid, salt % max(1, k_old), k_old)
                 if os.path.exists(p):
                     t = self._read_parquet(p)
@@ -408,6 +428,25 @@ class _PartitionResolver:
 
 
 class LakeTable:
+    """See module docstring for the design.
+
+    Sizing ``num_partitions`` (the 100-TB decision, fixed at table
+    creation): P is the unit of read/compaction parallelism AND the row-
+    group fan-out of every delta fragment. Pick P ≈ (cluster cores x 2-4)
+    so merge-on-read/compaction saturate the fleet — e.g. 2048 for a
+    256-node x 32-core cluster; the sandbox default 32 matches one 32-core
+    node. Too-small P caps parallelism; P >> cores only adds tiny row
+    groups per fragment (metadata overhead). Per-pid SIZE needs no
+    headroom: a pid outgrowing ``salt_threshold`` rows is automatically
+    split into power-of-two ``(pid, salt)`` sub-files, so hot partitions
+    stay task-sized without rewriting the table.
+
+    Change-feed consumers: ``register_consumer`` / ``consume_changes`` /
+    ``commit_consumer`` give incremental readers a durable checkpoint;
+    fragments of epochs past a registered consumer's checkpoint survive
+    compaction until every consumer has drained them (enforced retention).
+    """
+
     def __init__(
         self,
         root: str,
@@ -605,12 +644,38 @@ class LakeTable:
         return base_version, pending
 
     def _base_partitions(self, base_version: int) -> dict[int, dict]:
-        """pid -> {"rows", "salts"} from the base version's compact manifest
-        ({} when there is no base)."""
+        """pid -> {"rows", "salts"[, "legacy"]} from the base version's
+        compact manifest ({} when there is no base).
+
+        Legacy compat (round-2 advice): manifests written by the pre-round-2
+        compactor have NO ``partitions`` key, yet may have salted
+        ``pid=<p>-s<t>.parquet`` sub-files with a non-power-of-two count —
+        silently assuming ``salts=1`` would make those pids resolve EMPTY
+        (data loss). Detect that layout from the base directory listing and
+        mark the affected pids ``legacy`` so resolution reads every
+        sub-file (see ``_PartitionResolver.resolve_sub``)."""
         if base_version < 0:
             return {}
         m = self._read_manifest(f"compact-{base_version}.json")
-        return {int(p): v for p, v in m.get("partitions", {}).items()}
+        if "partitions" in m:
+            return {int(p): v for p, v in m["partitions"].items()}
+        import re
+
+        bdir = os.path.join(self.root, "base", f"v={base_version}")
+        out: dict[int, dict] = {}
+        if os.path.isdir(bdir):
+            for fn in sorted(os.listdir(bdir)):
+                mt = re.fullmatch(r"pid=(\d+)(?:-s(\d+))?\.parquet", fn)
+                if not mt:
+                    continue
+                pid = int(mt.group(1))
+                d = out.setdefault(pid, {"rows": 0, "salts": 1})
+                d["rows"] += pq.ParquetFile(
+                    os.path.join(bdir, fn)).metadata.num_rows
+                if mt.group(2) is not None:
+                    d["salts"] = max(d["salts"], int(mt.group(2)) + 1)
+                    d["legacy"] = True
+        return out
 
     def _salt_plan(self, base_version: int, pending: list[int],
                    max_salts: int = 256) -> dict[int, tuple[int, int]]:
@@ -636,7 +701,10 @@ class LakeTable:
             k = 1
             while k < need and k < max_salts:
                 k *= 2
-            k_old = int(base_parts.get(pid, {}).get("salts", 1))
+            part = base_parts.get(pid, {})
+            k_old = int(part.get("salts", 1))
+            if part.get("legacy"):
+                k_old = -k_old  # legacy marker: read-all-sub-files path
             plan[pid] = (k, k_old)
         return plan
 
@@ -686,10 +754,12 @@ class LakeTable:
 
         Defaults to all committed epochs after ``since_epoch``. Rows come
         straight from the manifest-listed delta row groups (exactly-once:
-        orphan fragments are invisible); note a compaction GC's the
-        fragments of folded epochs, so consumers must drain the feed before
-        compacting past their checkpoint — a missing fragment raises with
-        that explanation."""
+        orphan fragments are invisible). A compaction GC's the fragments of
+        folded epochs — UNLESS a registered consumer (``register_consumer``
+        / ``consume_changes`` / ``commit_consumer``) still needs them, in
+        which case they are retained until every checkpoint passes. An
+        anonymous (unregistered) reader that races a compaction gets a
+        missing-fragment error with that explanation."""
         import ray.data as rd
 
         eps = (list(epochs) if epochs is not None
@@ -733,6 +803,68 @@ class LakeTable:
         return rd.from_items(
             items, override_num_blocks=min(len(items), 256)
         ).map_batches(load, batch_format="pyarrow", batch_size=4)
+
+    # -- change-feed consumers (checkpointed incremental consumption) -------
+
+    def _consumer_dir(self) -> str:
+        return os.path.join(self.root, "_consumers")
+
+    def _consumers(self) -> dict[str, int]:
+        """name -> last-committed epoch checkpoint for every registered
+        change-feed consumer."""
+        d = self._consumer_dir()
+        out: dict[str, int] = {}
+        if os.path.isdir(d):
+            for fn in os.listdir(d):
+                if fn.endswith(".json"):
+                    with open(os.path.join(d, fn)) as f:
+                        out[fn[:-5]] = int(json.load(f)["since_epoch"])
+        return out
+
+    def register_consumer(self, name: str, *, since_epoch: int = -1) -> int:
+        """Register a change-feed consumer (idempotent). From this point the
+        retention contract is ENFORCED, not just documented: compaction and
+        gc keep the delta fragments of any folded epoch ABOVE the minimum
+        registered checkpoint, so ``consume_changes`` can always resume —
+        a compaction can no longer destroy an undrained feed."""
+        path = os.path.join(self._consumer_dir(), f"{name}.json")
+        if not os.path.exists(path):
+            _atomic_write_json({"since_epoch": int(since_epoch)}, path)
+        return self._consumers()[name]
+
+    def commit_consumer(self, name: str, epoch: int) -> int:
+        """Advance ``name``'s checkpoint to ``epoch`` (monotone): fragments
+        of epochs <= the minimum committed checkpoint become reclaimable by
+        ``gc()`` / the next compaction."""
+        cur = self._consumers().get(name)
+        if cur is None:
+            raise KeyError(f"unregistered change-feed consumer: {name}")
+        new = max(cur, int(epoch))
+        _atomic_write_json({"since_epoch": new},
+                           os.path.join(self._consumer_dir(), f"{name}.json"))
+        return new
+
+    def consume_changes(self, name: str, *, columns: list[str] | None = None):
+        """Checkpointed incremental read: -> (Dataset of change rows after
+        ``name``'s checkpoint, list of epochs included). The caller
+        processes the Dataset, then calls ``commit_consumer(name,
+        max(epochs))`` — crash before the commit and the next call replays
+        the same epochs (at-least-once consumption; rows carry ``_epoch``
+        for consumer-side idempotence)."""
+        since = self._consumers().get(name)
+        if since is None:
+            raise KeyError(f"unregistered change-feed consumer: {name}")
+        eps = [e for e in self.committed_epochs() if e > since]
+        return self.changes(epochs=eps, columns=columns), eps
+
+    def _retained_epochs(self, candidates: list[int]) -> set[int]:
+        """Epochs among ``candidates`` whose fragments must be kept for
+        registered consumers (epoch > min committed checkpoint)."""
+        consumers = self._consumers()
+        if not consumers:
+            return set()
+        min_ack = min(consumers.values())
+        return {e for e in candidates if e > min_ack}
 
     def verify_integrity(self) -> dict:
         """fsck for the lake: every manifest-listed fragment row group and
@@ -795,6 +927,18 @@ class LakeTable:
         for rel in report["orphans"]:
             os.unlink(os.path.join(self.root, rel))
             removed.append(rel)
+        # folded-epoch fragments retained for change-feed consumers become
+        # reclaimable once every consumer's checkpoint has passed them
+        _, folded = self.latest_compaction()
+        retained = self._retained_epochs(folded)
+        drained = [e for e in folded if e not in retained]
+        ddir = os.path.join(self.root, "deltas")
+        prefixes = tuple(f"epoch-{e}-" for e in drained)
+        if os.path.isdir(ddir) and prefixes:
+            for fn in os.listdir(ddir):
+                if fn.startswith(prefixes):
+                    os.unlink(os.path.join(ddir, fn))
+                    removed.append(f"deltas/{fn}")
         return {"removed": removed}
 
     def read_table(self) -> pa.Table:
@@ -903,9 +1047,13 @@ class LakeTable:
         )
         # GC folded-epoch fragments — including orphans from retried or
         # crashed tasks of those epochs (name prefix match) — plus the
-        # previous base version (safe: fenced by the manifest just written)
+        # previous base version (safe: fenced by the manifest just written).
+        # Epochs not yet drained by every registered change-feed consumer
+        # are RETAINED (the enforced retention contract; gc() reclaims them
+        # once checkpoints advance).
         ddir = os.path.join(self.root, "deltas")
-        prefixes = tuple(f"epoch-{e}-" for e in pending)
+        retained = self._retained_epochs(pending)
+        prefixes = tuple(f"epoch-{e}-" for e in pending if e not in retained)
         if os.path.isdir(ddir) and prefixes:
             for fn in os.listdir(ddir):
                 if fn.startswith(prefixes):

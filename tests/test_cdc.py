@@ -393,6 +393,109 @@ def test_changes_feed(tmp_path):
         lake.changes().to_pandas()
 
 
+def test_consumer_checkpoint_survives_compaction(tmp_path):
+    """Enforced retention: a registered consumer's undrained epochs keep
+    their delta fragments through a compaction; once the checkpoint
+    commits past them, gc() reclaims the files (round-2 verdict #8)."""
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    assert lake.register_consumer("etl") == -1
+    ingest_stream(lake, _epoch_datasets())
+    rows_before = lake.read_table().num_rows
+
+    # drain epochs 0-1, checkpoint, then compact: epochs 2-3 undrained
+    ds, eps = lake.consume_changes("etl")
+    assert eps == [0, 1, 2, 3]
+    assert pa.table(ds.to_pandas()).num_rows > 0
+    lake.commit_consumer("etl", 1)
+    lake.compact()
+    assert lake.read_table().num_rows == rows_before  # state unaffected
+
+    # the feed past the checkpoint is STILL readable post-compaction
+    ds2, eps2 = lake.consume_changes("etl")
+    assert eps2 == [2, 3]
+    feed = pa.table(ds2.to_pandas())
+    assert set(feed["_epoch"].to_pylist()) == {2, 3}
+    manifests = [lake._read_manifest(f"epoch-{e}.json") for e in (2, 3)]
+    assert feed.num_rows == sum(m["rows_delta"] for m in manifests)
+    assert lake.verify_integrity()["ok"]
+
+    # commit past everything -> gc reclaims the retained fragments
+    lake.commit_consumer("etl", 3)
+    removed = lake.gc()["removed"]
+    assert any("epoch-2-" in r for r in removed)
+    assert any("epoch-3-" in r for r in removed)
+    ds3, eps3 = lake.consume_changes("etl")
+    assert eps3 == []
+    assert lake.verify_integrity()["ok"]
+    # checkpoints are monotone; unknown consumers are loud
+    assert lake.commit_consumer("etl", 1) == 3
+    with pytest.raises(KeyError, match="unregistered"):
+        lake.consume_changes("nope")
+
+
+def test_legacy_salted_base_layout_readable(tmp_path):
+    """On-disk compat (round-2 advice): bases written by the pre-round-2
+    compactor (pid=<p>-s<t>.parquet with a NON-power-of-two salt count and
+    no 'partitions' key in the compact manifest) must resolve fully — the
+    alignment math would otherwise silently read them as empty — and the
+    next compaction migrates them to the current layout."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    from nifi_processors_ray.functions.hashing import hash64_columns
+
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, num_partitions=4)
+    ingest_stream(lake, _epoch_datasets())
+    want = lake.read_table().sort_by([("repo", "ascending"),
+                                      ("path", "ascending")])
+    lake.compact()
+
+    # rewrite the base into the legacy layout: every pid split into 3
+    # (non-power-of-two) salt files by hash(last key col) % 3, manifest
+    # stripped of its 'partitions' key
+    bdir = os.path.join(root, "base", "v=0")
+    for fn in list(os.listdir(bdir)):
+        pid = int(fn.split("=")[1].split(".")[0].split("-")[0])
+        t = pq.read_table(os.path.join(bdir, fn))
+        os.unlink(os.path.join(bdir, fn))
+        h = hash64_columns(t, ["path"]) % np.uint64(3)
+        for s in range(3):
+            sub = t.filter(pa.array(h == s))
+            if sub.num_rows:
+                pq.write_table(sub, os.path.join(
+                    bdir, f"pid={pid}-s{s}.parquet"))
+    mpath = os.path.join(root, "_manifests", "compact-0.json")
+    with open(mpath) as f:
+        m = _json.load(f)
+    del m["partitions"]
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
+
+    lake2 = LakeTable(root)
+    got = lake2.read_table().sort_by([("repo", "ascending"),
+                                      ("path", "ascending")])
+    assert got.equals(want)
+    got_ds = pa.table(lake2.read().to_pandas()).sort_by(
+        [("repo", "ascending"), ("path", "ascending")])
+    assert got_ds.select(want.column_names).equals(want)
+
+    # new deltas on top of a legacy base resolve and compact correctly
+    extra = rd.from_arrow(change_stream_batch(N, 500, seed=7, n_repos=20,
+                                              paths_per_repo=50))
+    lake2.apply_epoch(extra, 99)
+    events = pa.concat_tables([_events(),
+                               change_stream_batch(N, 500, seed=7, n_repos=20,
+                                                   paths_per_repo=50)])
+    exp = expected_snapshot(events)
+    assert lake2.read_table().num_rows == exp.num_rows
+    lake2.compact()  # migrates: new manifest has partitions metadata
+    assert "partitions" in lake2._read_manifest("compact-1.json")
+    assert lake2.read_table().num_rows == exp.num_rows
+    assert lake2.verify_integrity()["ok"]
+
+
 def test_incremental_compaction_links_untouched_partitions(tmp_path):
     """A second compaction whose deltas touch ONE pid must hard-link every
     other sub-partition forward (same inode, no rewrite) — compaction cost
