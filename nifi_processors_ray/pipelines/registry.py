@@ -147,6 +147,46 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_render_foreach(sf_dir: str):
+    """O2b: Velocity ``#foreach`` over a list-typed column — the loop
+    renders as one vectorized explode/render/fold (render.py docstring).
+    The list column is built per row as [lang, source, doc_id%4] so the
+    DuckDB twin can state the same loop with list_transform."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    stage = RenderTemplateStage(
+        "$doc_id[$lang]#foreach($t in $toks)<$t>#end",
+        output_col="content", keep_input_cols=True)
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        lang = batch["lang"].combine_chunks()
+        source = batch["source"].combine_chunks()
+        idm = pc.cast(pc.bit_wise_and(batch["doc_id"], 3), pa.string())
+        if isinstance(idm, pa.ChunkedArray):
+            idm = idm.combine_chunks()
+        stacked = pa.concat_arrays([lang, source, idm])
+        order = (np.tile(np.arange(3, dtype=np.int64), n) * n
+                 + np.repeat(np.arange(n, dtype=np.int64), 3))
+        child = stacked.take(pa.array(order))
+        toks = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 3 * n + 1, 3, dtype=np.int32), pa.int32()),
+            child)
+        out = stage(batch.append_column("toks", toks))
+        return out.select(["doc_id", "content"])
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_RENDER_FOREACH = """
+SELECT doc_id,
+       CAST(doc_id AS VARCHAR) || '[' || lang || ']'
+       || array_to_string(list_transform(
+              [lang, source, CAST(doc_id % 4 AS VARCHAR)],
+              t -> '<' || t || '>'), '') AS content
+FROM documents
+"""
+
+
 _RULE_SPEC = {
     "groups": [
         {"id": "G1", "subgroups": [
@@ -1486,6 +1526,7 @@ FROM read_csv('/root/reference/allCountries_100.txt', delim='\t',
 QUERIES = {
     "split_fields": q_split_fields,
     "render_template": q_render_template,
+    "render_foreach": q_render_foreach,
     "rule_route": q_rule_route,
     "rule_detailed": q_rule_detailed,
     "rule_geonames": q_rule_geonames,
@@ -1537,6 +1578,7 @@ QUERIES = {
 ORACLE_SQL = {
     "split_fields": SQL_SPLIT_FIELDS,
     "render_template": SQL_RENDER_TEMPLATE,
+    "render_foreach": SQL_RENDER_FOREACH,
     "rule_route": SQL_RULE_ROUTE,
     "rule_detailed": SQL_RULE_DETAILED,
     "rule_geonames": SQL_RULE_GEONAMES,

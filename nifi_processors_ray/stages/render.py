@@ -22,15 +22,23 @@ match ``attribute_filter`` are invisible to the template.
 Velocity directives (MergeTemplate merges full Velocity,
 MergeTemplate.java:57-59,261): the vectorizable subset is supported —
 ``#if(cond) ... #elseif(cond) ... #else ... #end`` (conditions: ``$ref``,
-``!$ref``, ``$ref OP literal-or-$ref`` with OP in ``== != > >= < <=``) and
-``#set($var = "literal" | number | $ref)``. Each branch body renders
-vectorized and rows select via ``pc.if_else`` — still no per-row Python.
-Any OTHER directive (``#foreach``, ``#macro``, ``#include``, ``#parse``,
-``#evaluate``, ...) raises ``ValueError("unsupported Velocity directive")``
-at template-compile time — a loud rejection, never silently rendering the
-directive text as a literal. Deviation from Velocity proper: ``#set``
-inside an ``#if`` branch is branch-local (bodies evaluate vectorized for
-every row, so a conditional global assignment has no single per-row value).
+``!$ref``, ``$ref OP literal-or-$ref`` with OP in ``== != > >= < <=``),
+``#set($var = "literal" | number | $ref)``, and
+``#foreach($item in $listref | [a..b]) body #end`` — loops render as one
+vectorized EXPLODE (flatten the list column, gather scalar fields per
+element) / RENDER (the same machinery over the exploded batch — nesting
+works) / FOLD (``pc.binary_join`` per row), with ``$foreach.index`` /
+``$foreach.count`` / ``$velocityCount`` available. Still no per-row
+Python anywhere. The remaining directives (``#macro``, ``#include``,
+``#parse``, ``#evaluate``, ...) raise ``ValueError("unsupported Velocity
+directive")`` at template-compile time — a loud rejection, never silently
+rendering the directive text as a literal — and a ``#``+word that is NOT a
+Velocity directive name ('Issue #123') is literal text, as in Velocity
+proper. Deviations: ``#set`` inside an ``#if``/``#foreach`` body is
+branch-local (bodies evaluate vectorized for every row, so a conditional
+global assignment has no single per-row value), and ``#foreach`` iterates
+list-typed columns or integer ranges (NiFi attributes are strings; the
+Arrow engine's list columns are the collection analog).
 """
 
 from __future__ import annotations
@@ -44,7 +52,7 @@ import pyarrow.compute as pc
 # $name or ${name} — Velocity-style references (identifier chars only)
 _PLACEHOLDER = re.compile(r"\$(?:\{([A-Za-z_][\w.-]*)\}|([A-Za-z_][\w]*))")
 _DIRECTIVE = re.compile(r"#(\w+)")
-_SUPPORTED_DIRECTIVES = {"if", "elseif", "else", "end", "set"}
+_SUPPORTED_DIRECTIVES = {"if", "elseif", "else", "end", "set", "foreach"}
 # The actual Velocity directive vocabulary: only these names are directives.
 # Any other '#'+word text ('Issue #123', 'page#section') is literal — the
 # reference (full Velocity) renders unknown directive-like text literally,
@@ -57,6 +65,8 @@ _COND = re.compile(
     r"^\s*(!)?\s*\$\{?([A-Za-z_][\w.-]*)\}?\s*"
     r"(?:(==|!=|>=|<=|>|<)\s*(.+?))?\s*$")
 _SET = re.compile(r"^\s*\$\{?([A-Za-z_][\w.-]*)\}?\s*=\s*(.+?)\s*$")
+_FOREACH = re.compile(r"^\s*\$\{?([A-Za-z_][\w.-]*)\}?\s+in\s+(.+?)\s*$")
+_RANGE = re.compile(r"^\s*\[\s*(-?\d+)\s*\.\.\s*(-?\d+)\s*\]\s*$")
 
 
 def parse_template(template: str) -> list[tuple[str, str]]:
@@ -105,7 +115,7 @@ def compile_template(template: str) -> list[tuple]:
                 f"{sorted('#' + d for d in _SUPPORTED_DIRECTIVES)}")
         if m.start() > pos:
             tokens.extend(parse_template(template[pos : m.start()]))
-        if name in ("if", "elseif", "set"):
+        if name in ("if", "elseif", "set", "foreach"):
             arg, end = _paren_arg(template, m.end())
             tokens.append(("#" + name, arg))
             pos = end
@@ -141,6 +151,17 @@ def compile_template(template: str) -> list[tuple]:
                     raise ValueError(f"unsupported #set form: {tokens[i][1]!r}")
                 nodes.append(("set", m2.group(1), m2.group(2)))
                 i += 1
+            elif kind == "#foreach":
+                m2 = _FOREACH.match(tokens[i][1])
+                if not m2:
+                    raise ValueError(
+                        f"unsupported #foreach form: {tokens[i][1]!r} "
+                        "(expected '$item in $listref' or '$i in [a..b]')")
+                body, i, stop = build(i + 1, {"#end"})
+                if stop != "#end":
+                    raise ValueError("#foreach without matching #end")
+                nodes.append(("foreach", m2.group(1), m2.group(2).strip(),
+                              body))
             elif kind in ("#elseif", "#else", "#end"):
                 raise ValueError(f"{kind} without matching #if")
             else:
@@ -271,6 +292,9 @@ class RenderTemplateStage:
                                                 dict(vars), n)
                     rendered = pc.if_else(mask, branch, rendered)
                 parts.append(rendered)
+            elif kind == "foreach":
+                parts.append(self._render_foreach(
+                    node[1], node[2], node[3], batch, visible, vars, n))
             else:
                 raise ValueError(f"unexpected template node {kind!r}")
         if not parts:
@@ -281,6 +305,71 @@ class RenderTemplateStage:
         if isinstance(rendered, pa.ChunkedArray):
             rendered = rendered.combine_chunks()
         return rendered
+
+    def _render_foreach(self, var: str, src: str, body: list,
+                        batch: pa.Table, visible: set, vars: dict,
+                        n: int) -> pa.Array:
+        """``#foreach($item in $listref) body #end`` — vectorized EXPLODE /
+        RENDER / FOLD: the body renders ONCE over the flattened element
+        array (scalar fields gathered per element), then per-row results
+        re-join with ``pc.binary_join``. No Python loop over rows or
+        elements; nesting works because the body renders through the same
+        machinery over the exploded batch. ``$foreach.index`` (0-based) and
+        ``$foreach.count`` (1-based) are available inside the body.
+        ``$velocityCount`` (legacy 1-based) aliases count."""
+        m_range = _RANGE.match(src)
+        if m_range:
+            a, b = int(m_range.group(1)), int(m_range.group(2))
+            step = 1 if b >= a else -1
+            items = np.arange(a, b + step, step, dtype=np.int64)
+            m = len(items)
+            counts = np.full(n, m, dtype=np.int64)
+            child = pa.array(np.tile(items, n))
+        else:
+            mref = _PLACEHOLDER.fullmatch(src.strip())
+            if not mref:
+                raise ValueError(
+                    f"unsupported #foreach source: {src!r} (expected a "
+                    "$list reference or [a..b] range)")
+            col = self._resolve(mref.group(1) or mref.group(2), batch,
+                                visible, vars, raw=True)
+            if col is None:
+                return pa.nulls(n, pa.string()).fill_null("")
+            if not (pa.types.is_list(col.type)
+                    or pa.types.is_large_list(col.type)):
+                raise ValueError(
+                    f"#foreach over non-list reference {src!r} "
+                    f"(type {col.type}); Velocity iterates collections — "
+                    "pass a list-typed column")
+            counts = np.asarray(
+                pc.list_value_length(col).fill_null(0), dtype=np.int64)
+            child = pc.list_flatten(col)
+            if isinstance(child, pa.ChunkedArray):
+                child = child.combine_chunks()
+        total = int(counts.sum())
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        idx_arr = pa.array(row_idx)
+        vbatch = batch.take(idx_arr)
+        vvars = {}
+        for k, v in vars.items():
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            vvars[k] = v.take(idx_arr) if isinstance(v, pa.Array) else v
+        vvars[var] = child
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        elem_idx = (np.arange(total, dtype=np.int64)
+                    - np.repeat(offsets[:-1], counts))
+        vvars["foreach.index"] = pa.array(elem_idx)
+        vvars["foreach.count"] = pa.array(elem_idx + 1)
+        vvars["velocityCount"] = vvars["foreach.count"]
+        rendered = self._render_nodes(body, vbatch, visible, vvars, total)
+        if isinstance(rendered, pa.ChunkedArray):
+            rendered = rendered.combine_chunks()
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), pa.int32()),
+            pc.cast(rendered, pa.string()))
+        return pc.binary_join(lst, pa.scalar("", pa.string()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -144,9 +144,61 @@ def test_velocity_unsupported_directive_raises():
     from nifi_processors_ray.stages.render import RenderTemplateStage
 
     with _pytest.raises(ValueError, match="unsupported Velocity directive"):
-        RenderTemplateStage("#foreach($x in $list)$x#end")
+        RenderTemplateStage("#macro(m)$x#end")
+    with _pytest.raises(ValueError, match="unsupported Velocity directive"):
+        RenderTemplateStage("#include('other.vm')")
     with _pytest.raises(ValueError, match="without matching"):
         RenderTemplateStage("#if($x)unclosed")
+
+
+def test_velocity_foreach_list_column():
+    from nifi_processors_ray.stages.render import RenderTemplateStage
+
+    t = pa.table({
+        "name": ["a", "b", "c"],
+        "tags": pa.array([["x", "y"], [], None],
+                         pa.list_(pa.string())),
+    })
+    out = RenderTemplateStage("$name:#foreach($t in $tags)<$t>#end",
+                              output_col="r", keep_input_cols=False)(t)
+    assert out["r"].to_pylist() == ["a:<x><y>", "b:", "c:"]
+    # $foreach.index / count / velocityCount inside the body
+    out2 = RenderTemplateStage(
+        "#foreach($t in $tags)${foreach.index}=$t(${foreach.count});#end",
+        output_col="r", keep_input_cols=False)(t)
+    assert out2["r"].to_pylist() == ["0=x(1);1=y(2);", "", ""]
+
+
+def test_velocity_foreach_range_and_nesting():
+    from nifi_processors_ray.stages.render import RenderTemplateStage
+
+    t = pa.table({"name": ["p", "q"],
+                  "tags": pa.array([["u"], ["v", "w"]],
+                                   pa.list_(pa.string()))})
+    out = RenderTemplateStage("#foreach($i in [1..3])$i-$name;#end",
+                              output_col="r", keep_input_cols=False)(t)
+    assert out["r"].to_pylist() == ["1-p;2-p;3-p;", "1-q;2-q;3-q;"]
+    # nested: outer over the list column, inner over a range, with #if
+    tpl = ("#foreach($t in $tags)#if($t == \"v\")!#end"
+           "#foreach($i in [1..2])$t$i#end|#end")
+    out2 = RenderTemplateStage(tpl, output_col="r",
+                               keep_input_cols=False)(t)
+    assert out2["r"].to_pylist() == ["u1u2|", "!v1v2|w1w2|"]
+
+
+def test_velocity_foreach_rejects_non_list():
+    import pytest as _pytest
+
+    from nifi_processors_ray.stages.render import RenderTemplateStage
+
+    t = pa.table({"x": ["a"]})
+    stage = RenderTemplateStage("#foreach($i in $x)$i#end", output_col="r")
+    with _pytest.raises(ValueError, match="non-list"):
+        stage(t)
+    with _pytest.raises(ValueError, match="unsupported #foreach form"):
+        RenderTemplateStage("#foreach(broken)x#end")
+    with _pytest.raises(ValueError, match="without matching #end"):
+        RenderTemplateStage("#foreach($i in [1..2])x")
 
 
 def test_hash_word_literal_not_directive():
