@@ -268,6 +268,49 @@ FROM b
 """
 
 
+def q_stage_provenance(sf_dir: str):
+    """Per-stage provenance counters (the NiFi ProvenanceReporter analog,
+    SplitToAttribute.java:207 / GenerateData.java:225): the rule_route
+    pipeline instrumented with stages/provenance.py — rows in/out plus
+    per-relationship transfer counts, all accumulated in a zero-CPU
+    counter actor while the pipeline streams."""
+    import json as _json
+
+    from ..stages.provenance import Provenance
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    prov = Provenance()
+    try:
+        out = docs.map_batches(
+            prov.wrap_class("rule_route", RuleEngineStage,
+                            fn_constructor_args=(_RULE_SPEC,),
+                            route_col="route"),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+        out.count()  # drive the stream through the instrumented stage
+        rep = prov.report()
+    finally:
+        prov.close()
+    routes = _json.loads(rep["routes"][0].as_py())
+    return pa.table({
+        "stage": rep["stage"],
+        "rows_in": rep["rows_in"],
+        "rows_out": rep["rows_out"],
+        "n_success": pa.array([routes.get("success", 0)], pa.int64()),
+        "n_failed": pa.array([routes.get("failed", 0)], pa.int64()),
+    })
+
+
+SQL_STAGE_PROVENANCE = """
+SELECT 'rule_route' AS stage,
+       COUNT(*) AS rows_in, COUNT(*) AS rows_out,
+       CAST(SUM(CASE WHEN (lang = 'en' OR lang = 'de') AND n_chars > 1000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
+       CAST(SUM(CASE WHEN (lang = 'en' OR lang = 'de') AND n_chars > 1000
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_failed
+FROM documents
+"""
+
+
 def q_generate_rows(sf_dir: str):
     """O4: deterministic rowlayout generator (no SQL oracle — generator)."""
     from ..sources.generate import generate_rows
@@ -1530,6 +1573,7 @@ QUERIES = {
     "rule_route": q_rule_route,
     "rule_detailed": q_rule_detailed,
     "rule_geonames": q_rule_geonames,
+    "stage_provenance": q_stage_provenance,
     "generate_rows": q_generate_rows,
     "cdc_events_latest": q_cdc_events_latest,
     "latest_event_per_user": q_latest_event_per_user,
@@ -1582,6 +1626,7 @@ ORACLE_SQL = {
     "rule_route": SQL_RULE_ROUTE,
     "rule_detailed": SQL_RULE_DETAILED,
     "rule_geonames": SQL_RULE_GEONAMES,
+    "stage_provenance": SQL_STAGE_PROVENANCE,
     "cdc_events_latest": SQL_CDC_EVENTS_LATEST,
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
     "cdc_documents_snapshot": SQL_CDC_DOCUMENTS_SNAPSHOT,
