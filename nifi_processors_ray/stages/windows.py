@@ -96,31 +96,44 @@ def _sessionize_parts(ds, *, key_col: str, ts_col: str, gap_i: int,
             .map_groups(per_bucket, batch_format="pyarrow"))
 
 
-def _bucket_offsets(stats, *, key_col: str, gap_i: int,
+def _bucket_offsets(stat_partials, *, key_col: str, gap_i: int,
                     max_group_rows: int | None):
-    """Per-key sequential scan over one row per (key, bucket): global
-    session offset per bucket. ``offset_b = sum_{b'<b} n_sessions_{b'} -
-    (# boundary merges up to and including b)`` — a bucket whose first
-    event is within ``gap`` of the previous non-empty bucket's last event
-    continues that session (chains across buckets fold in the cumsum)."""
+    """Per-key scan computing each bucket's global session offset,
+    directly over PER-BATCH partial stats rows (several per bucket — they
+    merge inside the same task, saving a dedicated combine shuffle):
+    ``offset_b = sum_{b'<b} n_sessions_{b'} - (# boundary merges up to and
+    including b)`` — a bucket whose first event is within ``gap`` of the
+    previous non-empty bucket's last event continues that session (chains
+    across buckets fold in the cumsum)."""
 
     def per_key(g: pa.Table) -> pa.Table:
         _check_group(g.num_rows, max_group_rows, "session offsets (buckets/key)")
         order = pc.sort_indices(g, sort_keys=[("_tsb", "ascending")])
         t = g.take(order)
-        n_sess = np.asarray(t["_nmax"], dtype=np.int64) + 1
-        first = np.asarray(t["_first"])
-        last = np.asarray(t["_last"])
-        m = len(n_sess)
+        tsb_all = np.asarray(t["_tsb"])
+        m_all = len(tsb_all)
+        new_b = np.ones(m_all, dtype=bool)
+        if m_all > 1:
+            new_b[1:] = tsb_all[1:] != tsb_all[:-1]
+        starts_i = np.flatnonzero(new_b)
+        # merge per-batch partials of the same bucket in place
+        n_sess = np.maximum.reduceat(
+            np.asarray(t["_nmax"], dtype=np.int64), starts_i) + 1
+        first = np.minimum.reduceat(np.asarray(t["_first"]), starts_i)
+        last = np.maximum.reduceat(np.asarray(t["_last"]), starts_i)
+        tsb = tsb_all[starts_i]
+        m = len(tsb)
         merge = np.zeros(m, dtype=np.int64)
         if m > 1:
             merge[1:] = (first[1:] - last[:-1] <= gap_i).astype(np.int64)
         prev_cum = np.concatenate([[0], np.cumsum(n_sess)[:-1]])
         offset = prev_cum - np.cumsum(merge)
-        return pa.table({key_col: t[key_col], "_tsb": t["_tsb"],
+        return pa.table({key_col: t[key_col].take(pa.array(starts_i)),
+                         "_tsb": pa.array(tsb),
                          "_offset": pa.array(offset, pa.int64())})
 
-    return stats.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    return stat_partials.groupby(key_col).map_groups(per_key,
+                                                     batch_format="pyarrow")
 
 
 def sessionize(ds, *, key_col: str, ts_col: str, gap_seconds: float,
@@ -163,20 +176,9 @@ def sessionize(ds, *, key_col: str, ts_col: str, gap_seconds: float,
             "_last": agg["_ts_max"],
         })
 
-    def stat_merge(g: pa.Table) -> pa.Table:
-        return pa.table({
-            key_col: g[key_col].slice(0, 1),
-            "_tsb": g["_tsb"].slice(0, 1),
-            "_nmax": pa.array([pc.max(g["_nmax"]).as_py()], pa.int64()),
-            "_first": pa.array([pc.min(g["_first"]).as_py()], pa.int64()),
-            "_last": pa.array([pc.max(g["_last"]).as_py()], pa.int64()),
-        })
-
-    stats = (part.map_batches(stat_partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
-             .groupby([key_col, "_tsb"])
-             .map_groups(stat_merge, batch_format="pyarrow"))
-    offsets = _bucket_offsets(stats, key_col=key_col, gap_i=gap_i,
+    stat_partials = part.map_batches(stat_partial, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    offsets = _bucket_offsets(stat_partials, key_col=key_col, gap_i=gap_i,
                               max_group_rows=max_group_rows).materialize()
 
     budget = (max_broadcast_bytes if max_broadcast_bytes is not None
@@ -370,23 +372,18 @@ def asof_join(left, right, *, on: str, by: str, value_cols: list[str],
             first[1:] |= np.asarray(neq.fill_null(True))
         return t.take(pa.array(np.asarray(idx)[first]))
 
-    # per-(key,bucket) last right row: per-batch combiner -> tiny groupby
-    rights_last = (rt.map_batches(_keep_last, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-                   .groupby([by, "_tsb"])
-                   .map_groups(_keep_last, batch_format="pyarrow"))
+    # per-batch combiners feed ONE per-key shuffle that computes the carry
+    # rows directly (narrow summaries only: one right row per (by, bucket)
+    # per batch + one slim left row per (by, bucket) per batch)
+    rights_partial = rt.map_batches(_keep_last, batch_format="pyarrow",
+                                    zero_copy_batch=True)
 
-    # distinct (key,bucket) pairs present on the LEFT side (narrow rows)
     def distinct_partial(batch: pa.Table) -> pa.Table:
-        return batch.select([by, "_tsb"]).group_by([by, "_tsb"]).aggregate([])
+        slim = batch.select([by, "_tsb"]).group_by([by, "_tsb"]).aggregate([])
+        return _pad(slim, 0)
 
-    left_buckets = (lt.map_batches(distinct_partial, batch_format="pyarrow",
-                                   zero_copy_batch=True)
-                    .groupby([by, "_tsb"])
-                    .map_groups(lambda g: g.slice(0, 1),
-                                batch_format="pyarrow")
-                    .map_batches(lambda b: _pad(b, 0),
-                                 batch_format="pyarrow"))
+    left_partial = lt.map_batches(distinct_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
     def make_carries(group: pa.Table) -> pa.Table:
         _check_group(group.num_rows, max_group_rows,
@@ -396,8 +393,14 @@ def asof_join(left, right, *, on: str, by: str, value_cols: list[str],
         l = group.filter(pa.array(side == 0))
         if r.num_rows == 0 or l.num_rows == 0:
             return group.slice(0, 0)
-        r = r.take(pc.sort_indices(r, sort_keys=[("_tsb", "ascending")]))
+        # collapse per-batch partials: keep the max-`on` row per bucket
+        r = r.take(pc.sort_indices(
+            r, sort_keys=[("_tsb", "ascending"), (on, "ascending")]))
         r_tsb = np.asarray(r["_tsb"])
+        last_of = np.ones(len(r_tsb), dtype=bool)
+        last_of[:-1] = r_tsb[1:] != r_tsb[:-1]
+        r = r.filter(pa.array(last_of))
+        r_tsb = r_tsb[last_of]
         l_tsb = np.unique(np.asarray(l["_tsb"]))
         idx = np.searchsorted(r_tsb, l_tsb, side="left") - 1
         valid = idx >= 0
@@ -407,7 +410,7 @@ def asof_join(left, right, *, on: str, by: str, value_cols: list[str],
         return out.set_column(out.column_names.index("_tsb"), "_tsb",
                               pa.array(l_tsb[valid]))
 
-    carries = (rights_last.union(left_buckets)
+    carries = (rights_partial.union(left_partial)
                .groupby(by)
                .map_groups(make_carries, batch_format="pyarrow"))
 
