@@ -845,6 +845,68 @@ FROM c
 """.replace("{ALT}", _stopword_alt())
 
 
+def q_repetition_scores(sf_dir: str):
+    """Gopher/RefinedWeb repetition filters: duplicate-line fraction +
+    duplicate 2/3-gram fractions per document (textstats.repetition_scores;
+    exact DuckDB twin with list functions)."""
+    from ..stages.textstats import repetition_scores
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        lambda b: repetition_scores(b).select(
+            ["doc_id", "n_lines", "dup_line_frac", "dup_2gram_frac",
+             "dup_3gram_frac"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return _round_cols(_to_table(out),
+                       {"dup_line_frac": 6, "dup_2gram_frac": 6,
+                        "dup_3gram_frac": 6})
+
+
+SQL_REPETITION_SCORES = """
+WITH c AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         regexp_extract_all(text, '\\S+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, lines,
+         [toks[i] || chr(1) || toks[i+1]
+          for i in range(1, len(toks))] AS g2,
+         [toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2]
+          for i in range(1, len(toks) - 1)] AS g3
+  FROM c)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       ROUND(CASE WHEN len(lines) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                        / len(lines) END, 6) AS dup_line_frac,
+       ROUND(CASE WHEN len(g2) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                        / len(g2) END, 6) AS dup_2gram_frac,
+       ROUND(CASE WHEN len(g3) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                        / len(g3) END, 6) AS dup_3gram_frac
+FROM g
+"""
+
+
+def q_top_tokens(sf_dir: str):
+    """Corpus vocabulary: exact global top-50 tokens by frequency —
+    per-batch value_counts partials (the combiner), token-sum groupby,
+    deterministic (count desc, token asc) top-k."""
+    from ..stages.textstats import token_frequencies
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return _to_table(token_frequencies(docs, top_k=50))
+
+
+SQL_TOP_TOKENS = """
+SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, token ASC LIMIT 50
+"""
+
+
 def q_lang_id(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return docs.map_batches(LangIdStage, batch_format="pyarrow",
@@ -1038,8 +1100,15 @@ def q_minhash_dedup(sf_dir: str):
     sorted distinct-token list. The organic corpus has such groups too
     (same-token-set docs), so this exercises discovery, not just the
     plant; approximate thresholds stay pinned in pytest
-    (minhash_dedup_near)."""
-    return minhash_dedup(_planted_docs(sf_dir), threshold=1.0, shingle_k=1)
+    (minhash_dedup_near).
+
+    Banding is tuned to the threshold (standard S-curve reasoning): at
+    J=1.0 ONE band of the full signature has recall 1 for identical sets,
+    while many short bands would flood the candidate stream with
+    partial-match pairs the verifier then rejects (measured: 16x8 banding
+    produced >500k false candidates at sf0.1 vs ~36k true pairs)."""
+    return minhash_dedup(_planted_docs(sf_dir), threshold=1.0, shingle_k=1,
+                         num_perm=16, bands=1)
 
 
 SQL_MINHASH_DEDUP = """
@@ -1588,6 +1657,8 @@ QUERIES = {
     "token_counts": q_token_counts,
     "token_counts_bpe": q_token_counts_bpe,
     "quality_scores": q_quality_scores,
+    "repetition_scores": q_repetition_scores,
+    "top_tokens": q_top_tokens,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "approx_distinct_users": q_approx_distinct,
@@ -1640,6 +1711,8 @@ ORACLE_SQL = {
     "token_counts": SQL_TOKEN_COUNTS,
     "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
     "quality_scores": SQL_QUALITY_SCORES,
+    "repetition_scores": SQL_REPETITION_SCORES,
+    "top_tokens": SQL_TOP_TOKENS,
     "lang_id": SQL_LANG_ID,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "minhash_dedup": SQL_MINHASH_DEDUP,

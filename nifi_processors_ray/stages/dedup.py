@@ -44,38 +44,63 @@ def _tokenize(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
     return flat, counts
 
 
-def _shingle_hashes(text: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+def _shingle_hashes(text: pa.Array, k: int, *, short_row_fallback: bool = True
+                    ) -> tuple[np.ndarray, np.ndarray]:
     """Word k-shingle 64-bit hashes per row (rolling window over token
-    hashes), vectorized: hash each token once, then combine k consecutive
-    token hashes with position-mixed multiplies.
+    hashes), FULLY vectorized: hash each token once, combine k consecutive
+    token hashes with position-mixed multiplies via k global shifted adds
+    (no Python loop over rows — the round-2 version looped per row, which
+    melted on large candidate-pair verification batches).
 
-    -> (flat shingle hashes, per-row shingle counts); rows with fewer than
-    k tokens contribute one shingle over their full token run.
+    -> (flat shingle hashes, per-row shingle counts). With
+    ``short_row_fallback`` (the MinHash convention) rows with 0 < tokens
+    < k contribute ONE shingle over their full token run; without it they
+    contribute none (the SQL k-gram convention).
     """
     flat, counts = _tokenize(text)
     tok = stable_hash64(flat) if len(flat) else np.empty(0, np.uint64)
-    n_sh = np.maximum(counts - (k - 1), np.minimum(counts, 1)).astype(np.int64)
-    ends = np.cumsum(counts)
-    starts = ends - counts
-    out = np.empty(int(n_sh.sum()), dtype=np.uint64)
-    pos = 0
+    counts = counts.astype(np.int64)
+    if k == 1:
+        return tok, counts
+    n = len(counts)
+    L = len(tok)
+    if short_row_fallback:
+        n_sh = np.maximum(counts - (k - 1), np.minimum(counts, 1))
+    else:
+        n_sh = np.maximum(counts - (k - 1), 0)
+    total = int(n_sh.sum())
+    out = np.empty(total, dtype=np.uint64)
+    if total == 0:
+        return out, n_sh
     mults = (np.uint64(0x9E3779B97F4A7C15) ** np.arange(k, dtype=np.uint64)) & _M
-    for i in range(len(counts)):
-        c = int(counts[i])
-        if c == 0:
-            continue
-        t = tok[starts[i] : ends[i]]
-        if c < k:
-            out[pos] = (t * mults[:c]).sum() & _M
-            pos += 1
-            continue
-        # rolling combine: sum of mult[j] * tok[i+j] over window, vectorized
-        acc = np.zeros(c - k + 1, dtype=np.uint64)
+    rows_flat = np.repeat(np.arange(n, dtype=np.int64), counts)
+    # full windows: every global start g whose window stays inside one row
+    if L >= k:
+        acc = np.zeros(L - k + 1, dtype=np.uint64)
         for j in range(k):
-            acc = (acc + t[j : c - k + 1 + j] * mults[j]) & _M
-        out[pos : pos + c - k + 1] = acc
-        pos += c - k + 1
-    return out[:pos], n_sh
+            acc = (acc + tok[j : L - k + 1 + j] * mults[j]) & _M
+        full = acc[rows_flat[: L - k + 1] == rows_flat[k - 1 :]]
+    else:
+        full = np.empty(0, np.uint64)
+    if not short_row_fallback:
+        return full, n_sh
+    # short rows (0 < c < k): one shingle = position-weighted token sum
+    short = (counts > 0) & (counts < k)
+    if short.any():
+        row_starts = np.cumsum(counts) - counts
+        pos_in_row = np.arange(L, dtype=np.int64) - row_starts[rows_flat]
+        in_short = short[rows_flat]
+        w = np.zeros(L, dtype=np.uint64)
+        w[in_short] = (tok[in_short] * mults[pos_in_row[in_short]]) & _M
+        nz = counts > 0
+        seg = np.add.reduceat(w, row_starts[nz]) & _M  # per non-empty row
+        short_sh = seg[short[nz]]
+        out_rows = np.repeat(np.arange(n, dtype=np.int64), n_sh)
+        is_short_out = short[out_rows]
+        out[is_short_out] = short_sh
+        out[~is_short_out] = full
+        return out, n_sh
+    return full, n_sh
 
 
 class MinHashStage:
@@ -103,12 +128,17 @@ class MinHashStage:
         self.rows_per_band = num_perm // bands
         self.k = shingle_k
 
-    def signatures(self, batch: pa.Table) -> np.ndarray:
-        """(n_rows, num_perm) uint64 MinHash signature matrix."""
+    def _shingles(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         text = batch[self.text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        sh, n_sh = _shingle_hashes(text, self.k)
+        return _shingle_hashes(text, self.k)
+
+    def signatures(self, batch: pa.Table,
+                   shingles: tuple[np.ndarray, np.ndarray] | None = None
+                   ) -> np.ndarray:
+        """(n_rows, num_perm) uint64 MinHash signature matrix."""
+        sh, n_sh = shingles if shingles is not None else self._shingles(batch)
         n = batch.num_rows
         sig = np.full((n, self.num_perm), _MERSENNE, dtype=np.uint64)
         if len(sh) == 0:
@@ -125,13 +155,33 @@ class MinHashStage:
             sig[valid] = np.minimum.reduceat(hv, starts[valid], axis=0)
         return sig
 
+    def set_hashes(self, batch: pa.Table,
+                   shingles: tuple[np.ndarray, np.ndarray] | None = None
+                   ) -> np.ndarray:
+        """Per-row order-independent hash of the DISTINCT shingle set
+        (wrap-sum of distinct shingle hashes): equal sets -> equal hash."""
+        h, n_sh = shingles if shingles is not None else self._shingles(batch)
+        n = batch.num_rows
+        rows = np.repeat(np.arange(n, dtype=np.int64), n_sh)
+        out = np.zeros(n, dtype=np.uint64)
+        if len(h):
+            order = np.lexsort((h, rows))
+            hs, rs = h[order], rows[order]
+            firstm = np.ones(len(hs), dtype=bool)
+            firstm[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+            hd, rd = hs[firstm], rs[firstm]
+            starts = np.flatnonzero(
+                np.concatenate([[True], rd[1:] != rd[:-1]]))
+            out[rd[starts]] = np.add.reduceat(hd, starts)
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sig = self.signatures(batch)
+        shingles = self._shingles(batch)  # hashed once, used twice
+        sig = self.signatures(batch, shingles)
         n = batch.num_rows
         ids = batch[self.id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        band_ids = np.repeat(np.arange(self.bands, dtype=np.int64)[None, :], n, axis=0)
         keys = np.empty((n, self.bands), dtype=np.uint64)
         for b in range(self.bands):
             chunk = sig[:, b * self.rows_per_band : (b + 1) * self.rows_per_band]
@@ -142,6 +192,13 @@ class MinHashStage:
                     * np.uint64(0x100000001B3)
                 ) & _M
             keys[:, b] = acc
+        # content-level SET HASH (sum of distinct shingle hashes, order-
+        # independent): identical shingle sets share it exactly, and it is
+        # strictly finer than any banding of the minhash signature — the
+        # adjacency key for the oversized-bucket chain fallback. (Folding
+        # the signature instead is NOT finer: with bands=1 it EQUALS the
+        # bucket key, collapsing the chain order to plain id order.)
+        full = self.set_hashes(batch, shingles)
         # ids tiled per band (id varies fastest within a band)
         id_np = np.asarray(ids)
         return pa.table(
@@ -151,6 +208,7 @@ class MinHashStage:
                     np.repeat(np.arange(self.bands, dtype=np.int64), n)
                 ),
                 "band_key": pa.array(keys.T.reshape(-1).astype(np.int64)),
+                "sig": pa.array(np.tile(full.astype(np.int64), self.bands)),
             }
         )
 
@@ -205,27 +263,40 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
-def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text"):
-    """Exact dedup: vectorized content hash per batch, hash-partitioned
-    groupby, keep the row with min ``id_col`` per content group. Only
-    (hash, id) plus the surviving rows move through the shuffle."""
+def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                num_partitions: int = 64):
+    """Exact dedup: vectorized content hash per batch, then ONE groupby on
+    a hash PARTITION of the content hash — each task keeps the min-id row
+    per content hash for its whole partition with a single lexsort (a
+    per-content-group map_groups would dispatch a Python call per distinct
+    document, i.e. per row at 100 TB). Only (hash, id) plus the surviving
+    rows move through the shuffle."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         text = batch[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        h = stable_hash64(text).astype(np.int64)
-        return batch.append_column("_content_hash", pa.array(h))
+        h = stable_hash64(text)
+        batch = batch.append_column("_content_hash",
+                                    pa.array(h.astype(np.int64)))
+        return batch.append_column(
+            "_part", pa.array((h % np.uint64(num_partitions))
+                              .astype(np.int64)))
 
     def keep_first(group: pa.Table) -> pa.Table:
-        i = pc.index(
-            pc.equal(group[id_col], pc.min(group[id_col])), True
-        ).as_py()
-        return group.slice(i, 1).drop_columns(["_content_hash"])
+        ids = np.asarray(group[id_col])
+        hs = np.asarray(group["_content_hash"])
+        order = np.lexsort((ids, hs))
+        hs_s = hs[order]
+        first = np.ones(len(hs_s), dtype=bool)
+        if len(hs_s) > 1:
+            first[1:] = hs_s[1:] != hs_s[:-1]
+        return group.take(pa.array(order[first])).drop_columns(
+            ["_content_hash", "_part"])
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_content_hash")
+        .groupby("_part")
         .map_groups(keep_first, batch_format="pyarrow")
     )
 
@@ -251,12 +322,75 @@ _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64())})
 
 
-def dedup_pairs(pairs_ds):
-    """Distributed (a, b) pair dedup: hash-partition on the pair itself and
-    keep one row per group. Only the pair columns move through the shuffle."""
-    return pairs_ds.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+def dedup_pairs(pairs_ds, *, value_cols: tuple[str, ...] = ()):
+    """Distributed (a, b) pair dedup: per-batch ``np.unique`` PARTIAL
+    combiner, then ONE vectorized hash-aggregate groupby. Never a
+    per-group ``map_groups`` — that dispatches a Python call per distinct
+    pair, which is minutes of pure overhead at millions of pairs.
+    ``value_cols`` carry through via Min (exact whenever the value is a
+    function of the pair, e.g. hamming distance)."""
+    from ray.data.aggregate import Count, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = np.stack([np.asarray(batch["a"], dtype=np.int64),
+                        np.asarray(batch["b"], dtype=np.int64)], axis=1)
+        _, idx = np.unique(arr, axis=0, return_index=True)
+        return batch.take(pa.array(np.sort(idx)))
+
+    deduped = pairs_ds.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    if value_cols:
+        return deduped.groupby(["a", "b"]).aggregate(
+            *[Min(c, alias_name=c) for c in value_cols])
+    return (deduped.groupby(["a", "b"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["a", "b"]))
+
+
+#: pair-generation tasks process many LSH buckets per call (hash-partition
+#: on the bucket key) — per-group map_groups dispatch costs a Python call
+#: + block build per bucket, which dominates wall at >10^4 buckets
+_PAIR_PARTITIONS = 256
+
+
+def _bucketed_pair_partition(ds, key_cols: list[str], id_col: str,
+                             gen_pairs_per_segment):
+    """Shared shape for LSH-style candidate generation: hash the bucket
+    key columns to ``_part``, group by the PARTITION (not the bucket), and
+    inside each task sort once + loop bucket segments with small numpy
+    kernels. Per-task input is ~rows/_PAIR_PARTITIONS plus the largest
+    single bucket (itself size-capped by callers)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            h = (h * np.uint64(0x100000001B3)
+                 + np.asarray(batch[c]).astype(np.uint64))
+        return batch.append_column(
+            "_part", pa.array((h % np.uint64(_PAIR_PARTITIONS))
+                              .astype(np.int64)))
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        keys = [np.asarray(group[c]) for c in key_cols]
+        ids = np.asarray(group[id_col])
+        order = np.lexsort(tuple([ids] + keys[::-1]))
+        keys = [k[order] for k in keys]
+        n = len(ids)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            diff = np.zeros(n - 1, dtype=bool)
+            for k in keys:
+                diff |= k[1:] != k[:-1]
+            new[1:] = diff
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        return gen_pairs_per_segment(group.take(pa.array(order)), starts,
+                                     ends)
+
+    return (ds.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_part")
+            .map_groups(per_partition, batch_format="pyarrow"))
 
 
 def _repack(ds, n_rows: int, num_partitions: int):
@@ -388,10 +522,12 @@ def minhash_dedup(
 
     ``max_bucket_size`` caps each LSH bucket (deterministically: the lowest
     ids win) so a degenerate band key — e.g. millions of empty documents —
-    emits at most O(cap^2) pairs instead of O(b^2). Candidate pairs found
-    by several bands are verified more than once (verification is
-    idempotent; a dedicated pair-dedup shuffle costs more than the
-    duplicate work) and collapsed at the component step.
+    emits at most O(cap^2) pairs instead of O(b^2). Pair generation runs
+    per hash PARTITION of buckets (many buckets per task — per-bucket
+    map_groups dispatch is a Python call per bucket), and the raw pair
+    stream is deduped (``dedup_pairs``, narrow hash-aggregate) before
+    verification: a true near-dup pair matches in many of its bands, so
+    verifying duplicates would multiply the expensive text stage ~bands x.
 
     Verification fetches candidate texts once: when the candidate id set
     is under ``max_broadcast_docs`` their texts broadcast via the object
@@ -408,18 +544,53 @@ def minhash_dedup(
                          bands=bands, shingle_k=shingle_k)
     banded = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(np.asarray(group[id_col]))[:max_bucket_size]
-        if len(ids) < 2:
+    def gen_pairs(sorted_group: pa.Table, starts: np.ndarray,
+                  ends: np.ndarray) -> pa.Table:
+        ids = np.asarray(sorted_group[id_col])
+        sigs = np.asarray(sorted_group["sig"])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            u, uidx = np.unique(ids[s:e], return_index=True)
+            m = len(u)
+            if m < 2:
+                continue
+            cap = u[:max_bucket_size]
+            ai, bi = np.triu_indices(len(cap), k=1)
+            out_a.append(cap[ai])
+            out_b.append(cap[bi])
+            if m > max_bucket_size:
+                # oversized bucket: DEGRADE, never truncate — chain members
+                # adjacent in (full-signature, id) order (m-1 pairs).
+                # Identical shingle sets share the signature hash, so they
+                # sort contiguous and the chain links every equal-content
+                # run completely: exact-duplicate recall survives any
+                # bucket size (truncation silently dropped members beyond
+                # the cap — a scale-dependent recall hole); near-dup
+                # recall inside monster buckets degrades gracefully and
+                # verification keeps precision exact either way.
+                sg = sigs[s:e][uidx]
+                order = np.lexsort((u, sg))
+                cu = u[order]
+                x, y = cu[:-1], cu[1:]
+                out_a.append(np.minimum(x, y))
+                out_b.append(np.maximum(x, y))
+        if not out_a:
             return _EMPTY_PAIRS
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[a_idx]), "b": pa.array(ids[b_idx])})
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b))})
 
-    cand = banded.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow").materialize()
-    n_cand = cand.count()
+    cand_raw = _bucketed_pair_partition(
+        banded, ["band", "band_key"], id_col, gen_pairs).materialize()
     empty = pa.table({id_col: pa.array([], pa.int64()),
                       "cluster_id": pa.array([], pa.int64())})
+    if cand_raw.count() == 0:
+        return empty
+    # a near-dup pair matches in MANY of its bands by construction, so the
+    # raw candidate stream is heavily duplicated — dedup the narrow pairs
+    # BEFORE text verification (a pair-dedup shuffle of 16 B/row vs
+    # verifying each duplicate against full texts)
+    cand = dedup_pairs(cand_raw).materialize()
+    n_cand = cand.count()
     if n_cand == 0:
         return empty
 
@@ -535,36 +706,55 @@ def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group[id_col])
-        sims = np.asarray(group["simhash"]).astype(np.uint64)
-        uniq, idx = np.unique(ids, return_index=True)
-        uniq, idx = uniq[:max_bucket_size], idx[:max_bucket_size]
-        if len(uniq) < 2:
+    def gen_pairs(sorted_group: pa.Table, starts: np.ndarray,
+                  ends: np.ndarray) -> pa.Table:
+        from .similarity import _popcount64
+
+        ids = np.asarray(sorted_group[id_col])
+        sims = np.asarray(sorted_group["simhash"]).astype(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            uniq_all, idx_all = np.unique(ids[s:e], return_index=True)
+            m = len(uniq_all)
+            if m < 2:
+                continue
+            uniq, idx = uniq_all[:max_bucket_size], idx_all[:max_bucket_size]
+            sv = sims[s:e][idx]
+            ai, bi = np.triu_indices(len(uniq), k=1)
+            ham = _popcount64(sv[ai] ^ sv[bi])
+            keep = ham <= max_hamming
+            out_a.append(uniq[ai][keep])
+            out_b.append(uniq[bi][keep])
+            out_h.append(ham[keep])
+            if m > max_bucket_size:
+                # oversized bucket: degrade to a (simhash, id)-sorted chain
+                # (see minhash gen_pairs) — identical simhashes sort
+                # adjacent, so Hamming-0 recall survives any bucket size
+                sv_all = sims[s:e][idx_all]
+                order = np.lexsort((uniq_all, sv_all))
+                cu, cs = uniq_all[order], sv_all[order]
+                ch = _popcount64(cs[:-1] ^ cs[1:])
+                keep_c = ch <= max_hamming
+                x, y = cu[:-1][keep_c], cu[1:][keep_c]
+                out_a.append(np.minimum(x, y))
+                out_b.append(np.maximum(x, y))
+                out_h.append(ch[keep_c])
+        if not out_a:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
                              "hamming": pa.array([], pa.int64())})
-        sims = sims[idx]
-        ai, bi = np.triu_indices(len(uniq), k=1)
-        x = sims[ai] ^ sims[bi]
-        from .similarity import _popcount64
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b)),
+                         "hamming": pa.array(np.concatenate(out_h))})
 
-        ham = _popcount64(x)
-        keep = ham <= max_hamming
-        return pa.table(
-            {
-                "a": pa.array(uniq[ai][keep]),
-                "b": pa.array(uniq[bi][keep]),
-                "hamming": pa.array(ham[keep]),
-            }
-        )
-
-    # dedup pairs found in multiple bands, distributed (hamming is a
-    # function of (a, b), so keeping any one row per pair is exact)
+    # multi-bucket pair generation per hash partition, then distributed
+    # pair dedup (hamming is a function of (a, b) -> Min carries it exact)
+    banded = ds.map_batches(to_bands, batch_format="pyarrow",
+                            zero_copy_batch=True)
     deduped = dedup_pairs(
-        ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        _bucketed_pair_partition(banded, ["band", "band_key"], id_col,
+                                 gen_pairs),
+        value_cols=("hamming",),
     ).materialize()
     if deduped.count() > max_driver_pairs:
         return deduped.sort(["a", "b"])

@@ -286,13 +286,15 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids_all = np.asarray(group[id_col])
-        uniq, uidx = np.unique(ids_all, return_index=True)
-        uniq, uidx = uniq[:max_bucket_size], uidx[:max_bucket_size]
+        uniq_all, uidx_all = np.unique(ids_all, return_index=True)
+        m = len(uniq_all)
+        uniq, uidx = uniq_all[:max_bucket_size], uidx_all[:max_bucket_size]
         n = len(uniq)
-        if n < 2:
+        if m < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
-        sk = np.asarray(group["sketch"]).astype(np.uint64)[uidx]
+        sk_all = np.asarray(group["sketch"]).astype(np.uint64)
+        sk = sk_all[uidx]
         # row-block sketch-Hamming filter: bounded memory even at the cap
         out_a, out_b = [], []
         blk = 256
@@ -304,6 +306,21 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
             keep = jj > (ii + s)                        # upper triangle only
             out_a.append(uniq[ii[keep] + s])
             out_b.append(uniq[jj[keep]])
+        if m > max_bucket_size:
+            # oversized bucket: degrade to a (sketch, id)-sorted chain —
+            # identical vectors share the 64-bit sketch exactly, so
+            # exact-duplicate recall survives any bucket size (truncation
+            # was a scale-dependent recall hole); near-dup recall in
+            # monster buckets degrades gracefully, precision is exact
+            # (cosine verification downstream).
+            sv = sk_all[uidx_all]
+            order = np.lexsort((uniq_all, sv))
+            cu, cs = uniq_all[order], sv[order]
+            ch = _popcount64(cs[:-1] ^ cs[1:])
+            keep_c = ch <= ham_cut
+            x, y = cu[:-1][keep_c], cu[1:][keep_c]
+            out_a.append(np.minimum(x, y))
+            out_b.append(np.maximum(x, y))
         if not out_a:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})

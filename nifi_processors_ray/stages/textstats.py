@@ -181,3 +181,85 @@ class FingerprintStage:
         sim = np.where(counts > 0, sim, np.uint64(0))
         out = batch.append_column("fingerprint64", pa.array(fps, pa.uint64()))
         return out.append_column("simhash64", pa.array(sim, pa.uint64()))
+
+
+def _kgram_dup_stats(text: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (total word-k-grams, distinct word-k-grams) — the shared
+    fully-vectorized shingle kernel without the MinHash short-row fallback
+    (rows with fewer than k tokens have 0 k-grams, matching the SQL
+    definition), then lexsort distinct counts."""
+    from .dedup import _distinct_per_row, _shingle_hashes
+
+    hashes, n_k = _shingle_hashes(text, k, short_row_fallback=False)
+    rows = np.repeat(np.arange(len(n_k)), n_k)
+    distinct = _distinct_per_row(rows, hashes, len(n_k))
+    return n_k, distinct
+
+
+def repetition_scores(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Gopher/RefinedWeb-style repetition quality signals, fully
+    vectorized: duplicate-LINE fraction (non-empty lines) and duplicate
+    word-2-gram / 3-gram fractions — the standard filters for boilerplate
+    and degenerate repetition in pre-training corpora. Fractions are
+    ``1 - distinct/total`` (0.0 when a document has no lines/k-grams), so
+    the DuckDB twin can state them with list functions exactly."""
+    from .dedup import _distinct_per_row
+    from ..functions.hashing import stable_hash64
+
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = batch.num_rows
+    lines = pc.split_pattern(text.fill_null(""), "\n")
+    flat = pc.list_flatten(lines)
+    line_counts = np.asarray(pc.list_value_length(lines).fill_null(0),
+                             dtype=np.int64)
+    rows = np.repeat(np.arange(n), line_counts)
+    keep = np.asarray(pc.not_equal(flat, ""))
+    flat_ne = flat.filter(pa.array(keep))
+    rows_ne = rows[keep]
+    total_lines = np.bincount(rows_ne, minlength=n).astype(np.int64)
+    h = (stable_hash64(flat_ne) if len(flat_ne)
+         else np.empty(0, np.uint64))
+    distinct_lines = _distinct_per_row(rows_ne, h, n)
+    dup_line = np.where(total_lines > 0,
+                        1.0 - distinct_lines / np.maximum(total_lines, 1),
+                        0.0)
+
+    out = batch.append_column("n_lines", pa.array(total_lines))
+    out = out.append_column("dup_line_frac", pa.array(dup_line, pa.float64()))
+    for k in (2, 3):
+        tot, dis = _kgram_dup_stats(text, k)
+        frac = np.where(tot > 0, 1.0 - dis / np.maximum(tot, 1), 0.0)
+        out = out.append_column(f"dup_{k}gram_frac",
+                                pa.array(frac, pa.float64()))
+    return out
+
+
+def token_frequencies(ds, *, text_col: str = "text", top_k: int | None = None):
+    """Corpus token-frequency table (the vocabulary-building primitive):
+    per-batch ``value_counts`` PARTIALS (one row per distinct token per
+    batch — the combiner that keeps the shuffle tiny), a sum-groupby on
+    the token, and optionally an exact global top-k (count desc, token asc
+    — deterministic). At 100 TB the shuffle carries distinct tokens per
+    batch, not token occurrences."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(text.fill_null("")), r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    freq = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("token")
+            .aggregate(Sum("n", alias_name="n")))
+    if top_k is not None:
+        freq = freq.sort(["n", "token"], descending=[True, False]).limit(top_k)
+    return freq

@@ -64,6 +64,25 @@ def test_minhash_dedup_clusters_exact_and_near():
     assert 0 not in clusters and 7 not in clusters
 
 
+def test_minhash_oversized_bucket_chain_keeps_full_recall():
+    """A duplicate group LARGER than max_bucket_size must still resolve
+    completely: the oversized-bucket fallback chains members adjacent in
+    (set-hash, id) order instead of truncating (truncation silently
+    dropped members beyond the cap — the round-3 scale-dependent recall
+    hole)."""
+    texts = (["alpha beta gamma delta"] * 40
+             + ["omega psi chi"] * 25
+             + [f"unique doc number {i} filler" for i in range(20)])
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                  "text": pa.array(texts)})
+    out = minhash_dedup(rd.from_arrow(t), threshold=1.0, shingle_k=1,
+                        num_perm=16, bands=1, max_bucket_size=8)
+    got = dict(zip(out["doc_id"].to_pylist(), out["cluster_id"].to_pylist()))
+    assert {k for k, v in got.items() if v == 0} == set(range(40))
+    assert {k for k, v in got.items() if v == 40} == set(range(40, 65))
+    assert len(got) == 65
+
+
 def test_minhash_signature_similarity_tracks_jaccard():
     stage = MinHashStage(num_perm=128, bands=16)
     t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
