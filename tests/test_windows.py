@@ -198,6 +198,50 @@ def test_hot_key_stays_bounded_asof():
                   max_group_rows=50_000).to_pandas()
 
 
+def test_single_shuffle_mode_matches_bounded():
+    """bucket_seconds=None (the documented hot-key-bound opt-out) must
+    produce identical results to the bounded default."""
+    rng = np.random.default_rng(17)
+    n = 2000
+    tbl = pa.table({
+        "user": pa.array(rng.integers(0, 6, n), pa.int64()),
+        "ts": pa.array(np.sort(rng.integers(0, 200_000, n)) * 1_000_000,
+                       pa.timestamp("us")),
+    })
+    a = (sessionize(rd.from_arrow(tbl), key_col="user", ts_col="ts",
+                    gap_seconds=300).to_pandas()
+         .sort_values(["user", "ts", "session_idx"]).reset_index(drop=True))
+    b = (sessionize(rd.from_arrow(tbl), key_col="user", ts_col="ts",
+                    gap_seconds=300, bucket_seconds=None).to_pandas()
+         .sort_values(["user", "ts", "session_idx"]).reset_index(drop=True))
+    assert a["session_idx"].tolist() == b["session_idx"].tolist()
+
+    sa = (session_stats(rd.from_arrow(tbl), key_col="user", ts_col="ts",
+                        gap_seconds=300).to_pandas()
+          .sort_values(["user", "session_idx"]).reset_index(drop=True))
+    sb = (session_stats(rd.from_arrow(tbl), key_col="user", ts_col="ts",
+                        gap_seconds=300, bucket_seconds=None).to_pandas()
+          .sort_values(["user", "session_idx"]).reset_index(drop=True))
+    assert sa.equals(sb)
+
+    left = pa.table({"k": pa.array(rng.integers(0, 4, 500), pa.int64()),
+                     "t": pa.array(rng.integers(0, 10_000, 500))})
+    # unique right (k, t): equal-timestamp ties are documented
+    # nondeterministic, so don't manufacture them here
+    rt_ = rng.permutation(10_000)[:200].astype(np.int64)
+    right = pa.table({"k": pa.array(rng.integers(0, 4, 200), pa.int64()),
+                      "t": pa.array(rt_),
+                      "v": pa.array(rng.standard_normal(200))})
+    oa = (asof_join(rd.from_arrow(left), rd.from_arrow(right), on="t",
+                    by="k", value_cols=["v"], bucket_seconds=500)
+          .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+    ob = (asof_join(rd.from_arrow(left), rd.from_arrow(right), on="t",
+                    by="k", value_cols=["v"], bucket_seconds=None)
+          .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+    assert np.allclose(oa["v"].to_numpy(), ob["v"].to_numpy(),
+                       equal_nan=True)
+
+
 def test_asof_join_carry_across_empty_buckets():
     """The carry must come from the latest EARLIER bucket even when many
     empty buckets separate it from the left row, and same-bucket later
