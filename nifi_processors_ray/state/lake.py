@@ -643,6 +643,40 @@ class LakeTable:
         pending = [e for e in self.committed_epochs() if e not in set(folded)]
         return base_version, pending
 
+    def _as_of_state(self, epoch: int) -> tuple[int, list[int]]:
+        """Time travel: -> (base_version, delta epochs) reconstructing the
+        table EXACTLY as of committed ``epoch``. Uses the newest base whose
+        folded epochs are all <= ``epoch``; remaining epochs resolve from
+        their (possibly consumer-retained) delta fragments. Raises when a
+        needed fragment was GC'd — snapshots stay reconstructable as long
+        as a registered change-feed consumer's checkpoint (or the absence
+        of compaction) keeps the fragments alive."""
+        committed = [e for e in self.committed_epochs() if e <= epoch]
+        d = self._manifest_dir
+        versions = sorted(
+            int(fn[len("compact-"):-len(".json")])
+            for fn in (os.listdir(d) if os.path.isdir(d) else [])
+            if fn.startswith("compact-") and fn.endswith(".json"))
+        best, folded_best = -1, []
+        for v in versions:
+            m = self._read_manifest(f"compact-{v}.json")
+            if all(fe <= epoch for fe in m["epochs"]):
+                best, folded_best = v, list(m["epochs"])
+        pending = [e for e in committed if e not in set(folded_best)]
+        missing = []
+        for e in pending:
+            m = self._read_manifest(f"epoch-{e}.json")
+            for fn in m.get("fragments", {}):
+                if not os.path.exists(os.path.join(self.root, "deltas", fn)):
+                    missing.append(f"epoch {e}: deltas/{fn}")
+        if missing:
+            raise FileNotFoundError(
+                f"cannot reconstruct state as of epoch {epoch}: needed "
+                f"delta fragments were GC'd by a later compaction "
+                f"({missing[:3]}...). Register a change-feed consumer "
+                "(register_consumer) before compacting to retain them.")
+        return best, pending
+
     def _base_partitions(self, base_version: int) -> dict[int, dict]:
         """pid -> {"rows", "salts"[, "legacy"]} from the base version's
         compact manifest ({} when there is no base).
@@ -709,7 +743,8 @@ class LakeTable:
         return plan
 
     def read(self, *, drop_meta: bool = True,
-             columns: list[str] | None = None):
+             columns: list[str] | None = None,
+             as_of_epoch: int | None = None):
         """Current table state as a streaming ``ray.data.Dataset`` — one
         merge-on-read task per (pid, salt) sub-partition (see
         ``_PartitionResolver``: a hot pid fans out to k bounded tasks
@@ -718,10 +753,14 @@ class LakeTable:
         ``columns`` prunes the read at the parquet layer (only the
         requested columns + the key/seq/op columns resolution needs leave
         storage) — a 2-column read of a wide table no longer pays for
-        ``content``."""
+        ``content``. ``as_of_epoch`` TIME-TRAVELS to the snapshot as of
+        that committed epoch (see ``_as_of_state`` for reconstructability
+        rules)."""
         import ray.data as rd
 
-        base_version, pending = self._pending_state()
+        base_version, pending = (self._pending_state()
+                                 if as_of_epoch is None
+                                 else self._as_of_state(as_of_epoch))
         resolver = self._resolver(pending, drop_tombstones=True,
                                   drop_meta=drop_meta, columns=columns)
         plan = self._salt_plan(base_version, pending)
@@ -941,10 +980,13 @@ class LakeTable:
                     removed.append(f"deltas/{fn}")
         return {"removed": removed}
 
-    def read_table(self) -> pa.Table:
+    def read_table(self, *, as_of_epoch: int | None = None) -> pa.Table:
         """Small-scale convenience: fully materialized current state,
-        resolved WITHOUT Ray (driver-side pyarrow) — used by tests/oracles."""
-        base_version, pending = self._pending_state()
+        resolved WITHOUT Ray (driver-side pyarrow) — used by tests/oracles.
+        ``as_of_epoch`` time-travels like ``read``."""
+        base_version, pending = (self._pending_state()
+                                 if as_of_epoch is None
+                                 else self._as_of_state(as_of_epoch))
         resolver = self._resolver(pending, drop_tombstones=True, drop_meta=True)
         plan = self._salt_plan(base_version, pending)
         return concat_evolve(

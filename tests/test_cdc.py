@@ -433,6 +433,47 @@ def test_consumer_checkpoint_survives_compaction(tmp_path):
         lake.consume_changes("nope")
 
 
+def test_time_travel_read_as_of_epoch(tmp_path):
+    """as_of_epoch reconstructs earlier snapshots exactly: from base +
+    retained deltas after a compaction (registered consumer keeps the
+    fragments alive), and loudly refuses when fragments are gone."""
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    lake.register_consumer("tt")  # retention: fragments survive compaction
+    eps = _epoch_datasets()
+    per = N // EPOCHS
+    snapshots = {}
+    for i, ds in enumerate(eps):
+        lake.apply_epoch(ds, i)
+        snapshots[i] = expected_snapshot(
+            change_stream_batch(0, (i + 1) * per, seed=7, n_repos=20,
+                                paths_per_repo=50))
+    lake.compact()
+    for i in range(EPOCHS):
+        got = lake.read_table(as_of_epoch=i)
+        exp = snapshots[i]
+        assert got.num_rows == exp.num_rows, f"epoch {i}"
+        g = got.select(["repo", "path", "seq"]).sort_by(
+            [("repo", "ascending"), ("path", "ascending")])
+        e = exp.select(["repo", "path", "seq"]).sort_by(
+            [("repo", "ascending"), ("path", "ascending")])
+        assert g.equals(e), f"epoch {i}"
+    # streaming variant agrees
+    ds_rows = lake.read(as_of_epoch=1).count()
+    assert ds_rows == snapshots[1].num_rows
+    # latest as-of equals the current state
+    assert lake.read_table(as_of_epoch=EPOCHS - 1).num_rows == \
+        lake.read_table().num_rows
+
+    # drain + gc -> fragments gone -> pre-compaction snapshots refuse loudly
+    lake.commit_consumer("tt", EPOCHS - 1)
+    lake.gc()
+    with pytest.raises(FileNotFoundError, match="cannot reconstruct"):
+        lake.read_table(as_of_epoch=0)
+    # the compacted-at snapshot still works (base covers it)
+    assert lake.read_table(as_of_epoch=EPOCHS - 1).num_rows == \
+        snapshots[EPOCHS - 1].num_rows
+
+
 def test_legacy_salted_base_layout_readable(tmp_path):
     """On-disk compat (round-2 advice): bases written by the pre-round-2
     compactor (pid=<p>-s<t>.parquet with a NON-power-of-two salt count and
