@@ -579,8 +579,14 @@ def minhash_dedup(
         return pa.table({"a": pa.array(np.concatenate(out_a)),
                          "b": pa.array(np.concatenate(out_b))})
 
+    # at threshold >= 1.0 only equal shingle SETS can verify, so candidate
+    # segments additionally split on the content set-hash — the candidate
+    # stream collapses to (essentially) the true pairs instead of paying
+    # text verification for every signature-collision pair
+    pair_keys = (["band", "band_key", "sig"] if threshold >= 1.0
+                 else ["band", "band_key"])
     cand_raw = _bucketed_pair_partition(
-        banded, ["band", "band_key"], id_col, gen_pairs).materialize()
+        banded, pair_keys, id_col, gen_pairs).materialize()
     empty = pa.table({id_col: pa.array([], pa.int64()),
                       "cluster_id": pa.array([], pa.int64())})
     if cand_raw.count() == 0:
