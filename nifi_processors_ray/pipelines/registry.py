@@ -1523,6 +1523,38 @@ GROUP BY 1
 """
 
 
+def q_value_quantiles(sf_dir: str):
+    """Exact grouped quantiles (p50/p90/p99 of value per event_type) —
+    stages/quantiles.py, numpy/quantile_cont linear interpolation."""
+    from ..stages.quantiles import grouped_quantiles
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_quantiles(events, group_col="event_type",
+                            value_col="value")
+    return _round_cols(_to_table(out), {"p50": 6, "p90": 6, "p99": 6})
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_value_quantiles_sketch(sf_dir: str):
+    """Histogram-sketch grouped quantiles — the unbounded-group-size scale
+    path (approximate by construction -> rows-only; accuracy pinned in
+    tests/test_quantiles.py)."""
+    from ..stages.quantiles import grouped_quantiles_sketch
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_quantiles_sketch(events, group_col="event_type",
+                                   value_col="value")
+    return _to_table(out)
+
+
 def q_user_sessions(sf_dir: str):
     """Gap-based sessionization (30-min gap) -> one row per session."""
     from ..stages.windows import session_stats
@@ -1685,6 +1717,8 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "sliding_window": q_sliding_window,
+    "value_quantiles": q_value_quantiles,
+    "value_quantiles_sketch": q_value_quantiles_sketch,
     "user_sessions": q_user_sessions,
     "asof_prior_view": q_asof_prior_view,
     "top3_orders_per_priority": q_top3_orders_per_priority,
@@ -1730,6 +1764,7 @@ ORACLE_SQL = {
     "quarantine_route": SQL_QUARANTINE_ROUTE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "sliding_window": SQL_SLIDING_WINDOW,
+    "value_quantiles": SQL_VALUE_QUANTILES,
     "user_sessions": SQL_USER_SESSIONS,
     "asof_prior_view": SQL_ASOF_PRIOR_VIEW,
     "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
