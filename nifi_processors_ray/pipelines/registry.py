@@ -907,6 +907,29 @@ GROUP BY tok ORDER BY n DESC, token ASC LIMIT 50
 """
 
 
+def q_approx_top_tokens(sf_dir: str):
+    """Misra-Gries heavy-hitters over the token stream — the fixed-size-
+    per-batch sibling of the exact top_tokens (approximate deficient
+    counts by construction -> rows-only; MG guarantee pinned in
+    tests/test_sketches.py)."""
+    from ..stages.sketches import approx_heavy_hitters
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        t = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(text.fill_null("")), r"\s+"))
+        return pa.table({"token": t.filter(pc.not_equal(t, ""))})
+
+    flat = docs.map_batches(toks, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return _to_table(approx_heavy_hitters(flat, "token", k=20,
+                                          capacity=512))
+
+
 def q_lang_id(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return docs.map_batches(LangIdStage, batch_format="pyarrow",
@@ -1691,6 +1714,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "repetition_scores": q_repetition_scores,
     "top_tokens": q_top_tokens,
+    "approx_top_tokens": q_approx_top_tokens,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "approx_distinct_users": q_approx_distinct,

@@ -69,3 +69,47 @@ def approx_distinct(ds, col: str, *, p: int = 12) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear counting for the small range
     return float(est)
+
+
+def approx_heavy_hitters(ds, col: str, *, k: int = 20,
+                         capacity: int | None = None):
+    """Approximate top-k frequent values (Misra-Gries / space-saving
+    family): each batch reduces to at most ``capacity`` (value,
+    deficient-count) rows — exact batch counts minus the (capacity+1)-th
+    count, the standard Misra-Gries reduction — so per-item undercount
+    after the merge is bounded by N/(capacity+1) while the shuffle carries
+    a fixed-size summary per batch regardless of how many distinct values
+    a batch holds (the bound ``token_frequencies`` lacks on heavy-tailed
+    columns). Merge = Sum groupby on the value; returns the top ``k`` by
+    estimated (lower-bound) count, deterministic (count desc, value asc).
+
+    A value with true frequency > N/(capacity+1) is GUARANTEED to survive
+    into the merged summary; accuracy pinned in tests/test_sketches.py.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    cap = capacity or 8 * k
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vc = pc.value_counts(vals)
+        counts = np.asarray(vc.field("counts"), dtype=np.int64)
+        if len(counts) > cap:
+            order = np.argsort(-counts, kind="stable")
+            thresh = counts[order[cap]]
+            keep = order[:cap]
+            adj = counts[keep] - thresh
+            pos = adj > 0
+            return pa.table({col: vc.field("values").take(pa.array(keep[pos])),
+                             "_n": pa.array(adj[pos])})
+        return pa.table({col: vc.field("values"), "_n": pa.array(counts)})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(col)
+              .aggregate(Sum("_n", alias_name="est_count")))
+    return merged.sort(["est_count", col],
+                       descending=[True, False]).limit(k)

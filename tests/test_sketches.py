@@ -27,3 +27,33 @@ def test_hll_partition_invariant():
     a = approx_distinct(rd.from_arrow(vals), "u")
     b = approx_distinct(rd.from_arrow(vals).repartition(16), "u")
     assert a == b  # register-max merge is associative and deterministic
+
+
+def test_approx_heavy_hitters_recovers_zipf_head():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.sketches import approx_heavy_hitters
+
+    rng = np.random.default_rng(12)
+    # zipf-ish: token i has frequency ~ 1/(i+1)
+    pop = np.repeat(np.arange(400), (4000 / (np.arange(400) + 1)).astype(int))
+    rng.shuffle(pop)
+    vals = pa.array([f"tok{int(i)}" for i in pop])
+    t = pa.table({"v": vals})
+    n = len(pop)
+
+    ds = rd.from_arrow(t).repartition(8)
+    out = approx_heavy_hitters(ds, "v", k=10, capacity=64).to_pandas()
+    got = out["v"].tolist()
+    # exact top-10 by construction: tok0..tok9
+    expect = [f"tok{i}" for i in range(10)]
+    assert got == expect
+    # deficient counts are lower bounds within the MG guarantee
+    import collections
+
+    true = collections.Counter(f"tok{int(i)}" for i in pop)
+    for v, est in zip(out["v"], out["est_count"]):
+        assert est <= true[v]
+        assert true[v] - est <= n / (64 + 1) * 8  # <= per-batch bound x batches
