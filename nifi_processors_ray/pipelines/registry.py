@@ -383,20 +383,28 @@ SELECT user_id, event_id, event_type, value FROM latest WHERE op = 'upsert'
 
 
 def q_latest_event_per_user(sf_dir: str):
-    """LWW as a pure operator (no sink): per-batch combiner then grouped
-    arg-max — the shuffle-minimizing upsert reduction."""
+    """LWW as a pure operator (no sink): per-batch combiner, then ONE
+    grouped arg-max per key-hash PARTITION — ``latest_by_key`` resolves
+    every user in the partition with a single sort+mask, so there is no
+    per-user Python dispatch (the shuffle-minimizing upsert reduction)."""
+    from ..functions.hashing import hash64_columns
+
     events = _read(sf_dir, "events",
                    columns=["event_id", "user_id", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        return latest_by_key(batch, ["user_id"], "event_id")
+        red = latest_by_key(batch, ["user_id"], "event_id")
+        h = hash64_columns(red, ["user_id"])
+        return red.append_column(
+            "_part", pa.array((h % np.uint64(64)).astype(np.int64)))
 
     def final(group: pa.Table) -> pa.Table:
-        return latest_by_key(group, ["user_id"], "event_id")
+        return latest_by_key(group, ["user_id"],
+                             "event_id").drop_columns(["_part"])
 
     return (
         events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
+        .groupby("_part")
         .map_groups(final, batch_format="pyarrow")
     )
 

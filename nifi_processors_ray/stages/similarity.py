@@ -280,23 +280,28 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
             all_codes.append(codes[has_bit] ^ (1 << b))
             all_ids.append(ids[has_bit])
             all_sk.append(sketch[has_bit])
-        return pa.table({"bucket": pa.array(np.concatenate(all_codes)),
+        bucket = np.concatenate(all_codes)
+        # pair tasks group on a hash PARTITION of the bucket (many buckets
+        # per task, segmented kernel) — per-bucket map_groups would
+        # dispatch a Python call per bucket at large n_bits
+        part = ((bucket.astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(256)
+                ).astype(np.int64)
+        return pa.table({"bucket": pa.array(bucket),
+                         "_part": pa.array(part),
                          id_col: pa.array(np.concatenate(all_ids)),
                          "sketch": pa.array(np.concatenate(all_sk))})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids_all = np.asarray(group[id_col])
-        uniq_all, uidx_all = np.unique(ids_all, return_index=True)
+    def _segment_pairs(ids_seg: np.ndarray, sk_seg: np.ndarray,
+                       out_a: list, out_b: list) -> None:
+        uniq_all, uidx_all = np.unique(ids_seg, return_index=True)
         m = len(uniq_all)
+        if m < 2:
+            return
         uniq, uidx = uniq_all[:max_bucket_size], uidx_all[:max_bucket_size]
         n = len(uniq)
-        if m < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        sk_all = np.asarray(group["sketch"]).astype(np.uint64)
-        sk = sk_all[uidx]
+        sk = sk_seg[uidx]
         # row-block sketch-Hamming filter: bounded memory even at the cap
-        out_a, out_b = [], []
         blk = 256
         for s in range(0, n - 1, blk):
             e = min(s + blk, n - 1)
@@ -313,7 +318,7 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
             # was a scale-dependent recall hole); near-dup recall in
             # monster buckets degrades gracefully, precision is exact
             # (cosine verification downstream).
-            sv = sk_all[uidx_all]
+            sv = sk_seg[uidx_all]
             order = np.lexsort((uniq_all, sv))
             cu, cs = uniq_all[order], sv[order]
             ch = _popcount64(cs[:-1] ^ cs[1:])
@@ -321,6 +326,24 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
             x, y = cu[:-1][keep_c], cu[1:][keep_c]
             out_a.append(np.minimum(x, y))
             out_b.append(np.maximum(x, y))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        # many buckets per partition task: sort once, loop bucket segments
+        buckets = np.asarray(group["bucket"])
+        ids_all = np.asarray(group[id_col])
+        sk_all = np.asarray(group["sketch"]).astype(np.uint64)
+        order = np.lexsort((ids_all, buckets))
+        buckets, ids_all, sk_all = (buckets[order], ids_all[order],
+                                    sk_all[order])
+        new = np.ones(len(buckets), dtype=bool)
+        if len(buckets) > 1:
+            new[1:] = buckets[1:] != buckets[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(buckets))
+        out_a: list = []
+        out_b: list = []
+        for s, e in zip(starts, ends):
+            _segment_pairs(ids_all[s:e], sk_all[s:e], out_a, out_b)
         if not out_a:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
@@ -337,7 +360,7 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
     # rather than paying a dedicated dedup shuffle.
     cand = (
         ds.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
+        .groupby("_part")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     ).materialize()
     n_cand = cand.count()
