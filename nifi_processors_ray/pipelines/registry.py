@@ -1054,6 +1054,71 @@ FROM documents
 """
 
 
+def q_strip_markup(sf_dir: str):
+    """Web-corpus text extraction: documents wrapped in deterministic
+    HTML (tags + script body + entities) then stripped back to plain text
+    by the chained-RE2 ``strip_markup`` stage. The DuckDB twin applies the
+    same patterns in the same order — both engines are RE2, so the oracle
+    is exact even on text containing markup-like characters."""
+    from ..stages.textclean import strip_markup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        raw = pc.binary_join_element_wise(
+            pa.scalar('<div class="d"><p>'), batch["text"],
+            pa.scalar('</p><script>var x = 1;</script>&amp;done</div>'), "")
+        t = pa.table({"doc_id": batch["doc_id"], "text": raw})
+        return strip_markup(t).select(["doc_id", "text_plain"])
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_STRIP_MARKUP = """
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(
+      '<div class="d"><p>' || text
+        || '</p><script>var x = 1;</script>&amp;done</div>',
+      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '(?s)<[^>]*>', ' ', 'g'),
+      '&lt;', '<', 'g'),
+      '&gt;', '>', 'g'),
+      '&quot;', '"', 'g'),
+      '&#39;', CHR(39), 'g'),
+      '&nbsp;', ' ', 'g'),
+      '&amp;', '&', 'g'),
+    '\\s+', ' ', 'g')) AS text_plain
+FROM documents
+"""
+
+
+def q_blocklist_filter(sf_dir: str):
+    """Broadcast ANTI join: drop documents whose id is in a blocklist
+    shipped once via ray.put (the no-shuffle WHERE key NOT IN form —
+    blocklists/allowlists/decontamination id sets at corpus scale)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.joins import broadcast_membership_filter
+
+    base = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    ids = np.asarray(base["doc_id"])
+    block = ray.put(np.sort(ids[ids % 13 == 5]))
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return broadcast_membership_filter(docs, block, "doc_id", mode="anti")
+
+
+SQL_BLOCKLIST_FILTER = """
+SELECT doc_id, lang FROM documents WHERE doc_id % 13 <> 5
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag corpus docs whose distinct-token set
     overlaps the 'benchmark' slice (doc_id % 97 == 3) by >= 30%. The
@@ -1728,6 +1793,8 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct,
     "normalize_text": q_normalize_text,
     "pii_scrub": q_pii_scrub,
+    "strip_markup": q_strip_markup,
+    "blocklist_filter": q_blocklist_filter,
     "decontaminate": q_decontaminate,
     "minhash_dedup": q_minhash_dedup,
     "minhash_dedup_near": q_minhash_dedup_near,
@@ -1787,6 +1854,8 @@ ORACLE_SQL = {
     "ann_ivf_top1": SQL_ANN_PLANTED_TOP1,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "pii_scrub": SQL_PII_SCRUB,
+    "strip_markup": SQL_STRIP_MARKUP,
+    "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "decontaminate": SQL_DECONTAMINATE,
     "ann_topk": SQL_ANN_TOPK,
     "reserialize_rows": SQL_RESERIALIZE_ROWS,

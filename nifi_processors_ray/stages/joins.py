@@ -148,3 +148,40 @@ def bucket_join(
 
     return both.groupby(_BUCKET_COL).map_groups(join_bucket,
                                                 batch_format="pyarrow")
+
+
+def broadcast_membership_filter(ds, keys_ref, key_col: str, *,
+                                mode: str = "semi", concurrency=None):
+    """Semi/anti join against a broadcast key set: ``keys_ref =
+    ray.put(np.sort(keys))`` ships ONCE via the object store; each batch
+    tests membership with one searchsorted — the no-shuffle form of
+    ``WHERE key [NOT] IN (SELECT ...)`` for blocklists / allowlists /
+    decontamination id sets. ``mode='semi'`` keeps members, ``'anti'``
+    drops them. The caller byte-budgets the key set with
+    ``check_broadcast_budget`` and falls back to ``bucket_join`` when the
+    set is no longer 'small'."""
+    import ray
+
+    if mode not in ("semi", "anti"):
+        raise ValueError(f"mode must be 'semi' or 'anti', got {mode!r}")
+
+    class Member:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch[key_col])
+            if len(self.keys):
+                idx = np.clip(np.searchsorted(self.keys, k), 0,
+                              len(self.keys) - 1)
+                hit = self.keys[idx] == k
+            else:
+                hit = np.zeros(len(k), dtype=bool)
+            keep = hit if mode == "semi" else ~hit
+            return batch.filter(pa.array(keep))
+
+    if concurrency is None:
+        concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+    return ds.map_batches(Member, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=concurrency,
+                          max_restarts=0)

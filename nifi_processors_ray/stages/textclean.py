@@ -68,3 +68,39 @@ def scrub_pii(batch: pa.Table, *, text_col: str = "text",
     for pat, repl in (patterns if patterns is not None else PII_PATTERNS):
         col = pc.replace_substring_regex(col, pat, repl)
     return batch.append_column(out_col, col)
+
+
+# markup stripping (web-corpus text extraction): order matters — script/
+# style bodies go first (their content is not text), then comments, then
+# tags, then the few entities that matter for plain text, then whitespace
+_MARKUP_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]*>", " "),
+]
+_ENTITY_STEPS: list[tuple[str, str]] = [
+    (r"&lt;", "<"), (r"&gt;", ">"), (r"&quot;", "\""),
+    (r"&#39;", "'"), (r"&nbsp;", " "), (r"&amp;", "&"),
+]
+
+
+def strip_markup(batch: pa.Table, *, text_col: str = "text",
+                 out_col: str = "text_plain") -> pa.Table:
+    """HTML/XML -> plain text: drop script/style bodies and comments,
+    strip tags, decode the common entities, collapse whitespace — the
+    standard web-corpus text-extraction step, as chained RE2 kernels with
+    an exact DuckDB twin (same engine, same patterns). Not a full HTML5
+    parser (malformed markup degrades gracefully to tag-stripping), which
+    matches what regexp-based SQL extraction can state."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = col.fill_null("")
+    for pat, rep in _MARKUP_STEPS:
+        out = pc.replace_substring_regex(out, pat, rep)
+    for pat, rep in _ENTITY_STEPS:
+        out = pc.replace_substring_regex(out, pat, rep)
+    out = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(out, _WS_RE, " "))
+    return batch.append_column(out_col, out)

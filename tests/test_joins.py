@@ -43,3 +43,29 @@ def test_revenue_by_nation_bucket_fallback_matches_broadcast():
     want = revenue_by_nation_pipeline(sf).sort_by("n_name")
     got = revenue_by_nation_pipeline(sf, max_broadcast_bytes=0).sort_by("n_name")
     assert got.equals(want)
+
+
+def test_broadcast_membership_filter_semi_and_anti():
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.joins import broadcast_membership_filter
+
+    t = pa.table({"k": pa.array(np.arange(100, dtype=np.int64)),
+                  "v": pa.array(np.arange(100, dtype=np.float64))})
+    keys = ray.put(np.sort(np.array([3, 7, 50, 99], dtype=np.int64)))
+    semi = broadcast_membership_filter(rd.from_arrow(t), keys, "k",
+                                       mode="semi").to_pandas()
+    assert sorted(semi["k"].tolist()) == [3, 7, 50, 99]
+    anti = broadcast_membership_filter(rd.from_arrow(t), keys, "k",
+                                       mode="anti").to_pandas()
+    assert len(anti) == 96 and 3 not in set(anti["k"])
+    # empty key set: semi -> nothing, anti -> everything
+    empty = ray.put(np.array([], dtype=np.int64))
+    assert len(broadcast_membership_filter(rd.from_arrow(t), empty, "k",
+                                           mode="semi").to_pandas()) == 0
+    with _pytest.raises(ValueError, match="semi"):
+        broadcast_membership_filter(rd.from_arrow(t), keys, "k", mode="x")
