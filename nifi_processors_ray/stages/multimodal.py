@@ -85,6 +85,28 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[yy][:, xx]
 
 
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize, pure numpy (align-corners=False / half-pixel
+    centers, the OpenCV/PIL convention). uint8 in -> uint8 out."""
+    h, w = img.shape[:2]
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    squeeze = img.ndim == 2
+    p = img.astype(np.float64)
+    if squeeze:
+        p = p[:, :, None]
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = np.clip(np.rint(top * (1 - wy) + bot * wy), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
 def synthesize_ppm_media(n: int, *, width: int = 32, height: int = 24,
                          seed: int = 5) -> pa.Table:
     """Deterministic REAL P6 images (per-id gradient + hash-derived phase)

@@ -294,3 +294,31 @@ def test_y4m_roundtrip_and_frame_sampling():
     assert img.shape == (12, 16, 3)
     clip0 = decode_y4m(media["payload"][0].as_py())
     assert np.array_equal(img[:, :, 0], clip0[0])
+
+
+def test_resize_bilinear_physics():
+    import numpy as np
+
+    from nifi_processors_ray.stages.multimodal import (resize_bilinear,
+                                                       resize_nearest)
+
+    # constant image stays constant under any resize
+    const = np.full((10, 8, 3), 77, dtype=np.uint8)
+    assert (resize_bilinear(const, 5, 13) == 77).all()
+    # identity resize returns the image
+    rng = np.random.Generator(np.random.PCG64(9))
+    img = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    assert np.array_equal(resize_bilinear(img, 12, 9), img)
+    # a horizontal ramp downsampled 2x keeps monotone ramp values
+    ramp = np.tile(np.arange(0, 256, 16, dtype=np.uint8)[None, :, None],
+                   (4, 1, 3))
+    small = resize_bilinear(ramp, 4, 8)
+    row = small[0, :, 0].astype(int)
+    assert (np.diff(row) > 0).all()
+    # grayscale path preserves shape
+    g = rng.integers(0, 256, size=(6, 7), dtype=np.uint8)
+    assert resize_bilinear(g, 3, 4).shape == (3, 4)
+    # interpolation averages where nearest snaps: 2x2 checkerboard -> 1x1
+    cb = np.array([[0, 255], [255, 0]], dtype=np.uint8)
+    assert resize_bilinear(cb, 1, 1)[0, 0] in (127, 128)
+    assert resize_nearest(cb[:, :, None].repeat(3, 2), 1, 1).shape == (1, 1, 3)
