@@ -1119,6 +1119,70 @@ SELECT doc_id, lang FROM documents WHERE doc_id % 13 <> 5
 """
 
 
+def q_corpus_pipeline(sf_dir: str):
+    """FLAGSHIP training-data pipeline, end to end in ONE streaming
+    composition: normalize -> quality gate (alpha ratio, token floor,
+    no duplicated lines) -> exact dedup on the normalized text (min id
+    wins) -> token accounting. Every stage reuses an already-oracled
+    kernel, so the whole pipeline has an exact SQL twin — the composition
+    is what a reference user's real cleanup flow looks like."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.textclean import normalize_text
+    from ..stages.textstats import count_tokens, repetition_scores
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = normalize_text(batch)            # adds text_norm
+        t = repetition_scores(t)             # adds n_lines, dup_*_frac
+        text = t["text"]
+        alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"),
+                        pa.float64())
+        chars = pc.cast(pc.max_element_wise(
+            pc.utf8_length(text), pa.scalar(1, pa.int32())), pa.float64())
+        n_tok = pc.count_substring_regex(text, r"\S+")
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(pc.divide(alpha, chars),
+                                     pa.scalar(0.5)),
+                    pc.greater_equal(n_tok, pa.scalar(5, pa.int32()))),
+            pc.equal(t["dup_line_frac"], pa.scalar(0.0)),
+        )
+        return t.filter(keep).select(["doc_id", "text_norm"])
+
+    filtered = docs.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    deduped = exact_dedup(filtered, id_col="doc_id", text_col="text_norm")
+    return deduped.map_batches(
+        lambda b: count_tokens(b, text_col="text_norm")
+        .select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CORPUS_PIPELINE = """
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+              regexp_replace(nfc_normalize(text),
+                             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '',
+                             'g'),
+              '\\s+', ' ', 'g')) AS text_norm,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+           / GREATEST(length(text), 1) AS alpha_ratio,
+         len(regexp_extract_all(text, '\\S+')) AS n_tok,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+  FROM documents),
+f AS (
+  SELECT doc_id, text_norm FROM c
+  WHERE alpha_ratio >= 0.5 AND n_tok >= 5
+    AND len(list_distinct(lines)) = len(lines)),
+d AS (
+  SELECT MIN(doc_id) AS doc_id, text_norm FROM f GROUP BY text_norm)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text_norm, '\\S+')) AS BIGINT) AS n_tokens
+FROM d
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: flag corpus docs whose distinct-token set
     overlaps the 'benchmark' slice (doc_id % 97 == 3) by >= 30%. The
@@ -1795,6 +1859,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "strip_markup": q_strip_markup,
     "blocklist_filter": q_blocklist_filter,
+    "corpus_pipeline": q_corpus_pipeline,
     "decontaminate": q_decontaminate,
     "minhash_dedup": q_minhash_dedup,
     "minhash_dedup_near": q_minhash_dedup_near,
@@ -1856,6 +1921,7 @@ ORACLE_SQL = {
     "pii_scrub": SQL_PII_SCRUB,
     "strip_markup": SQL_STRIP_MARKUP,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
+    "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "decontaminate": SQL_DECONTAMINATE,
     "ann_topk": SQL_ANN_TOPK,
     "reserialize_rows": SQL_RESERIALIZE_ROWS,
