@@ -78,17 +78,15 @@ class BruteForceTopK:
         # k+1 partials so a later self-exclusion can never starve the top-k
         k = min(self.k + 1, len(ids))
         part = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, q)
-        out_q, out_id, out_s = [], [], []
-        for qi in range(self.q.shape[0]):
-            sel = part[:, qi]
-            out_q.append(np.full(k, self.q_ids[qi], dtype=np.int64))
-            out_id.append(ids[sel])
-            out_s.append(scores[sel, qi])
+        nq = self.q.shape[0]
+        sel = part.T.reshape(-1)                            # q-major flatten
+        qcol = np.repeat(np.arange(nq, dtype=np.int64), k)
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q)),
-                self.id_col: pa.array(np.concatenate(out_id)),
-                "score": pa.array(np.concatenate(out_s)),
+                "query_id": pa.array(np.repeat(
+                    np.asarray(self.q_ids, dtype=np.int64), k)),
+                self.id_col: pa.array(ids[sel]),
+                "score": pa.array(scores[sel, qcol]),
             }
         )
 
