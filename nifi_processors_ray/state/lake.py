@@ -994,6 +994,75 @@ class LakeTable:
              for p in range(self.num_partitions)]
         )
 
+    def export_snapshot(self, out_dir: str, *, columns: list[str] | None = None,
+                        as_of_epoch: int | None = None) -> dict:
+        """RESUMABLE partitioned export of the (optionally time-traveled)
+        table state to plain Parquet: one task per (pid, salt)
+        sub-partition writes ``part-<pid>-<salt>.parquet`` plus a ``.done``
+        marker, and a re-run SKIPS partitions whose marker exists — a
+        killed 100-TB export resumes from where it stopped instead of
+        rewriting everything (the brief's resumable-output contract; never
+        one giant file). Atomic per partition (tmp + rename before the
+        marker). Returns {files, rows, skipped}."""
+        import ray.data as rd
+
+        base_version, pending = (self._pending_state()
+                                 if as_of_epoch is None
+                                 else self._as_of_state(as_of_epoch))
+        resolver = self._resolver(pending, drop_tombstones=True,
+                                  drop_meta=True, columns=columns)
+        plan = self._salt_plan(base_version, pending)
+        os.makedirs(out_dir, exist_ok=True)
+
+        def export_sub(batch: pa.Table) -> pa.Table:
+            rows_out, files, skipped = [], [], []
+            for pid, salt, k, k_old in zip(
+                    batch["pid"].to_pylist(), batch["salt"].to_pylist(),
+                    batch["k"].to_pylist(), batch["k_old"].to_pylist()):
+                name = f"part-{int(pid):05d}-{int(salt):04d}"
+                dst = os.path.join(out_dir, name + ".parquet")
+                marker = os.path.join(out_dir, name + ".done")
+                if os.path.exists(marker):
+                    skipped.append(name)
+                    rows_out.append(0)
+                    files.append("")
+                    continue
+                t = resolver.resolve_sub(int(pid), int(salt), int(k),
+                                         base_version, int(k_old))
+                n = t.num_rows
+                if n:
+                    _atomic_write_parquet(t, dst)
+                    files.append(name + ".parquet")
+                else:
+                    files.append("")
+                with open(marker + ".tmp", "w") as f:
+                    f.write(str(n))
+                os.replace(marker + ".tmp", marker)
+                rows_out.append(n)
+            return pa.table({
+                "file": pa.array(files, pa.string()),
+                "rows": pa.array(rows_out, pa.int64()),
+                "skipped": pa.array(
+                    [",".join(skipped)] + [""] * (len(files) - 1)
+                    if files else [], pa.string()),
+            })
+
+        items = [
+            {"pid": pid, "salt": s, "k": k, "k_old": k_old}
+            for pid, (k, k_old) in plan.items()
+            for s in range(k)
+        ]
+        stats = (rd.from_items(items, override_num_blocks=len(items))
+                 .map_batches(export_sub, batch_format="pyarrow",
+                              batch_size=1)
+                 .take_all())
+        return {
+            "files": sorted(s["file"] for s in stats if s["file"]),
+            "rows": int(sum(s["rows"] for s in stats)),
+            "skipped": sorted(x for s in stats
+                              for x in s["skipped"].split(",") if x),
+        }
+
     def compact(self) -> dict:
         """Copy-on-write compaction: fold all committed deltas + current base
         into base version v+1, dropping tombstones. Idempotent and atomic

@@ -433,6 +433,46 @@ def test_consumer_checkpoint_survives_compaction(tmp_path):
         lake.consume_changes("nope")
 
 
+def test_export_snapshot_resumable(tmp_path):
+    """Partitioned export writes one file + .done marker per (pid, salt)
+    and a re-run skips completed partitions (kill-resume: deleting one
+    marker re-exports exactly that partition)."""
+    import pyarrow.parquet as pq
+
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    ingest_stream(lake, _epoch_datasets())
+    want = lake.read_table()
+    out = str(tmp_path / "export")
+    r1 = lake.export_snapshot(out)
+    assert r1["rows"] == want.num_rows and not r1["skipped"]
+    got = pa.concat_tables([
+        pq.read_table(os.path.join(out, f)) for f in r1["files"]])
+    assert got.num_rows == want.num_rows
+    assert (got.select(["repo", "path", "seq"]).sort_by(
+        [("repo", "ascending"), ("path", "ascending")]).equals(
+        want.select(["repo", "path", "seq"]).sort_by(
+            [("repo", "ascending"), ("path", "ascending")])))
+
+    # resume: everything already done -> all skipped, zero rows rewritten
+    r2 = lake.export_snapshot(out)
+    assert r2["rows"] == 0 and len(r2["skipped"]) == len(
+        [f for f in os.listdir(out) if f.endswith(".done")])
+
+    # kill-resume: drop one marker -> exactly that partition re-exports
+    victim = r1["files"][0].replace(".parquet", ".done")
+    os.unlink(os.path.join(out, victim))
+    r3 = lake.export_snapshot(out)
+    assert r3["files"] == [r1["files"][0]]
+    assert r3["rows"] == pq.read_table(
+        os.path.join(out, r1["files"][0])).num_rows
+
+    # column projection export
+    out2 = str(tmp_path / "export2")
+    r4 = lake.export_snapshot(out2, columns=["repo", "seq"])
+    t2 = pq.read_table(os.path.join(out2, r4["files"][0]))
+    assert t2.column_names == ["repo", "seq"]
+
+
 def test_time_travel_read_as_of_epoch(tmp_path):
     """as_of_epoch reconstructs earlier snapshots exactly: from base +
     retained deltas after a compaction (registered consumer keeps the
