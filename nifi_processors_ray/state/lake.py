@@ -905,6 +905,34 @@ class LakeTable:
         min_ack = min(consumers.values())
         return {e for e in candidates if e > min_ack}
 
+    def changed_keys(self, *, since_epoch: int = -1,
+                     epochs: list[int] | None = None):
+        """DISTINCT keys touched by the given epochs, as a streaming
+        Dataset — the standard input to incremental downstream refresh
+        ("recompute only partitions whose keys changed"). Reads ONLY the
+        key columns of the manifest-listed delta row groups (column-pruned
+        at the parquet layer), deduplicates with a per-batch group_by
+        partial + one hash-partition groupby (no per-key dispatch)."""
+        import ray.data as rd
+
+        feed = self.changes(since_epoch=since_epoch, epochs=epochs,
+                            columns=list(self.key_cols))
+        keys = list(self.key_cols)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            slim = batch.select(keys).group_by(keys).aggregate([])
+            h = hash64_columns(slim, keys)
+            return slim.append_column(
+                "_part", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+        def finalize(group: pa.Table) -> pa.Table:
+            return group.select(keys).group_by(keys).aggregate([])
+
+        return (feed.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .groupby("_part")
+                .map_groups(finalize, batch_format="pyarrow"))
+
     def verify_integrity(self) -> dict:
         """fsck for the lake: every manifest-listed fragment row group and
         base sub-file must exist with the expected shape. Returns a report

@@ -433,6 +433,27 @@ def test_consumer_checkpoint_survives_compaction(tmp_path):
         lake.consume_changes("nope")
 
 
+def test_changed_keys_incremental_refresh_input(tmp_path):
+    """changed_keys(since) = distinct keys in the chosen epochs' deltas —
+    verified against a pyarrow recomputation from the raw events."""
+    lake = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    ingest_stream(lake, _epoch_datasets())
+    per = N // EPOCHS
+    got = pa.table(lake.changed_keys(since_epoch=1).to_pandas()).sort_by(
+        [("repo", "ascending"), ("path", "ascending")])
+    raw = change_stream_batch(2 * per, 2 * per, seed=7, n_repos=20,
+                              paths_per_repo=50)
+    want = raw.select(["repo", "path"]).group_by(
+        ["repo", "path"]).aggregate([]).sort_by(
+        [("repo", "ascending"), ("path", "ascending")])
+    assert got.equals(want)
+    # all epochs -> every key ever touched
+    all_keys = lake.changed_keys().count()
+    raw_all = change_stream_batch(0, N, seed=7, n_repos=20, paths_per_repo=50)
+    assert all_keys == raw_all.select(["repo", "path"]).group_by(
+        ["repo", "path"]).aggregate([]).num_rows
+
+
 def test_export_snapshot_resumable(tmp_path):
     """Partitioned export writes one file + .done marker per (pid, salt)
     and a re-run skips completed partitions (kill-resume: deleting one
