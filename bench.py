@@ -225,22 +225,27 @@ def run_scaling():
     lo_cpus, hi_cpus = (int(c) for c in
                         os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
 
-    def run(ncpu: int) -> list[dict]:
+    def run_one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_CDC_EVENTS=scaling_events,
                    GRAFT_BENCH_HEADLINE_ONLY="1",
                    # best-of across processes is the outer loop here; one
                    # timed rep per process keeps wall time sane
                    GRAFT_BENCH_REPS="1")
-        outs = []
-        for _ in range(reps):
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 check=True).stdout
-            outs.append(json.loads(out.strip().splitlines()[-1]))
-        return outs
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(lo_cpus), run(hi_cpus)
+    # INTERLEAVE the two levels (lo, hi, lo, hi, ...): this shared host's
+    # co-tenant load drifts over minutes, and running all lo reps before
+    # all hi reps lets that drift bias the ratio in either direction —
+    # alternating makes both levels sample the same load distribution, so
+    # best-of-N per level compares like with like
+    lo, hi = [], []
+    for _ in range(reps):
+        lo.append(run_one(lo_cpus))
+        hi.append(run_one(hi_cpus))
     best_lo = min(lo, key=lambda r: r["value"])
     best_hi = min(hi, key=lambda r: r["value"])
     t_lo, t_hi = best_lo["events_per_sec"], best_hi["events_per_sec"]
