@@ -58,9 +58,12 @@ def grouped_quantiles(ds, *, group_col: str, value_col: str,
             c = np.ceil(k).astype(np.int64)
             lo = vals[starts + f]
             hi = vals[starts + c]
+            # lo + (hi-lo)*frac, the same expression form DuckDB's
+            # quantile_cont evaluates — algebraically equal alternatives
+            # differ in the last ulp, which a 6dp-rounded value-hash
+            # oracle can straddle
             cols[nm] = pa.array(
-                np.where(f == c, lo, lo * (c - k) + hi * (k - f)),
-                pa.float64())
+                np.where(f == c, lo, lo + (hi - lo) * (k - f)), pa.float64())
         return pa.table(cols)
 
     return (_key_partition(ds, group_col)
