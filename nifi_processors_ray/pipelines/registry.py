@@ -187,6 +187,33 @@ FROM documents
 """
 
 
+def q_render_macro(sf_dir: str):
+    """O2c: Velocity ``#macro`` (compile-time call-by-name expansion) +
+    ``#parse`` (sub-template splice) — the last directives the reference
+    merges that round 2 still rejected (MergeTemplate.java:57-59,261).
+    The macro/parse resolution happens ONCE at template compile on the
+    driver; the batch path stays the same vectorized join kernel."""
+    root = tempfile.mkdtemp(prefix="render_macro_", dir="/tmp")
+    with open(os.path.join(root, "suffix.vm"), "w", encoding="utf-8") as fh:
+        fh.write('#if($lang == "en")!EN#end')
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    stage = RenderTemplateStage(
+        '#macro(tag $v)<$v>#end'
+        '$doc_id:#tag($lang)#tag($source)#parse("suffix.vm")',
+        output_col="content", keep_input_cols=True, template_root=root)
+    return docs.map_batches(stage, batch_format="pyarrow",
+                            zero_copy_batch=True).select_columns(
+        ["doc_id", "content"])
+
+
+SQL_RENDER_MACRO = """
+SELECT doc_id,
+       CAST(doc_id AS VARCHAR) || ':<' || lang || '><' || source || '>'
+       || CASE WHEN lang = 'en' THEN '!EN' ELSE '' END AS content
+FROM documents
+"""
+
+
 _RULE_SPEC = {
     "groups": [
         {"id": "G1", "subgroups": [
@@ -1831,6 +1858,7 @@ QUERIES = {
     "split_fields": q_split_fields,
     "render_template": q_render_template,
     "render_foreach": q_render_foreach,
+    "render_macro": q_render_macro,
     "rule_route": q_rule_route,
     "rule_detailed": q_rule_detailed,
     "rule_geonames": q_rule_geonames,
@@ -1892,6 +1920,7 @@ ORACLE_SQL = {
     "split_fields": SQL_SPLIT_FIELDS,
     "render_template": SQL_RENDER_TEMPLATE,
     "render_foreach": SQL_RENDER_FOREACH,
+    "render_macro": SQL_RENDER_MACRO,
     "rule_route": SQL_RULE_ROUTE,
     "rule_detailed": SQL_RULE_DETAILED,
     "rule_geonames": SQL_RULE_GEONAMES,

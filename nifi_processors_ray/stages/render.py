@@ -29,8 +29,23 @@ vectorized EXPLODE (flatten the list column, gather scalar fields per
 element) / RENDER (the same machinery over the exploded batch — nesting
 works) / FOLD (``pc.binary_join`` per row), with ``$foreach.index`` /
 ``$foreach.count`` / ``$velocityCount`` available. Still no per-row
-Python anywhere. The remaining directives (``#macro``, ``#include``,
-``#parse``, ``#evaluate``, ...) raise ``ValueError("unsupported Velocity
+Python anywhere.
+
+``#macro(name $p1 $p2) body #end`` is supported by COMPILE-TIME expansion
+(Velocity macros are call-by-name): each ``#name(args)`` call splices the
+body with ``$ref`` arguments substituted textually and literal/number
+arguments bound through generated ``#set`` variables, so the rendered
+pipeline stays fully vectorized. Macros may call other macros; runaway
+recursion is capped and raises. ``#include("f")`` splices the file's text
+VERBATIM as a literal (Velocity does not parse included files) and
+``#parse("f")`` splices the file compiled as a template (static-file
+semantics — the reference resolves the name per merge, but with a constant
+argument the results are identical); both require ``template_root`` and
+cap nesting depth against include cycles.
+
+The remaining directives (``#evaluate``, ``#define``, ``#stop``,
+``#break`` — the dynamic-evaluation constructs that cannot be expressed
+as a vectorized batch kernel) raise ``ValueError("unsupported Velocity
 directive")`` at template-compile time — a loud rejection, never silently
 rendering the directive text as a literal — and a ``#``+word that is NOT a
 Velocity directive name ('Issue #123') is literal text, as in Velocity
@@ -43,6 +58,7 @@ Arrow engine's list columns are the collection analog).
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -52,7 +68,8 @@ import pyarrow.compute as pc
 # $name or ${name} — Velocity-style references (identifier chars only)
 _PLACEHOLDER = re.compile(r"\$(?:\{([A-Za-z_][\w.-]*)\}|([A-Za-z_][\w]*))")
 _DIRECTIVE = re.compile(r"#(\w+)")
-_SUPPORTED_DIRECTIVES = {"if", "elseif", "else", "end", "set", "foreach"}
+_SUPPORTED_DIRECTIVES = {"if", "elseif", "else", "end", "set", "foreach",
+                         "macro", "include", "parse"}
 # The actual Velocity directive vocabulary: only these names are directives.
 # Any other '#'+word text ('Issue #123', 'page#section') is literal — the
 # reference (full Velocity) renders unknown directive-like text literally,
@@ -67,6 +84,12 @@ _COND = re.compile(
 _SET = re.compile(r"^\s*\$\{?([A-Za-z_][\w.-]*)\}?\s*=\s*(.+?)\s*$")
 _FOREACH = re.compile(r"^\s*\$\{?([A-Za-z_][\w.-]*)\}?\s+in\s+(.+?)\s*$")
 _RANGE = re.compile(r"^\s*\[\s*(-?\d+)\s*\.\.\s*(-?\d+)\s*\]\s*$")
+# macro-call / #macro-header argument tokens: quoted string, $ref, or bare
+_MACRO_ARG = re.compile(r'"[^"]*"|\'[^\']*\'|\$\{?[A-Za-z_][\w.-]*\}?'
+                        r"|[^\s,()]+")
+_QUOTED_FILE = re.compile(r'"([^"]*)"|\'([^\']*)\'')
+_MACRO_EXPANSION_CAP = 500  # total call expansions before declaring runaway
+_PARSE_DEPTH_CAP = 16  # #parse/#include nesting bound (cycle guard)
 
 
 def parse_template(template: str) -> list[tuple[str, str]]:
@@ -99,13 +122,103 @@ def _paren_arg(template: str, start: int) -> tuple[str, int]:
     raise ValueError("unbalanced parentheses in Velocity directive")
 
 
-def compile_template(template: str) -> list[tuple]:
-    """Template -> AST of ('lit', s) / ('field', name) /
-    ('set', var, rhs) / ('if', [(cond, body), ...], else_body) nodes.
-    Raises on any unsupported directive."""
-    tokens: list[tuple] = []  # flat stream of text pieces + directive marks
+def _find_block_end(template: str, body_start: int) -> int:
+    """Index of the ``#end`` match closing the block whose body starts at
+    ``body_start`` (nested #if/#foreach/#macro/#define blocks counted)."""
+    depth = 1
+    for m in _DIRECTIVE.finditer(template, body_start):
+        name = m.group(1)
+        if name in ("if", "foreach", "macro", "define"):
+            depth += 1
+        elif name == "end":
+            depth -= 1
+            if depth == 0:
+                return m.start()
+    raise ValueError("block directive without matching #end")
+
+
+def _extract_macros(template: str) -> tuple[str, dict]:
+    """Strip every ``#macro(name $p...) body #end`` definition out of the
+    template text -> (stripped template, {name: (params, body)})."""
+    macros: dict[str, tuple[list[str], str]] = {}
+    while True:
+        m = re.search(r"#macro\b", template)
+        if not m:
+            return template, macros
+        header, body_start = _paren_arg(template, m.end())
+        parts = _MACRO_ARG.findall(header)
+        if not parts:
+            raise ValueError("#macro needs a name: #macro(name $p1 ...)")
+        name, params = parts[0], []
+        for p in parts[1:]:
+            pm = _PLACEHOLDER.fullmatch(p)
+            if not pm:
+                raise ValueError(
+                    f"#macro({name}) parameter {p!r} is not a $reference")
+            params.append(pm.group(1) or pm.group(2))
+        end = _find_block_end(template, body_start)
+        macros[name] = (params, template[body_start:end])
+        # drop the definition and its trailing '#end' (4 chars)
+        template = template[: m.start()] + template[end + 4 :]
+
+
+def _expand_macros(template: str, macros: dict) -> str:
+    """Inline every ``#name(args)`` call (Velocity macros are call-by-name:
+    $ref arguments substitute textually; literal/number arguments bind via
+    generated #set variables so they behave identically in text, condition,
+    and #set positions). Macros may call macros; runaway recursion raises."""
+    if not macros:
+        return template
+    call_re = re.compile(
+        r"#(" + "|".join(re.escape(n) for n in macros) + r")(?=\()")
+    counter = 0
+    for _ in range(_MACRO_EXPANSION_CAP):
+        m = call_re.search(template)
+        if m is None:
+            return template
+        arg_text, end = _paren_arg(template, m.end())
+        args = _MACRO_ARG.findall(arg_text)
+        params, body = macros[m.group(1)]
+        if len(args) != len(params):
+            raise ValueError(
+                f"#{m.group(1)} expects {len(params)} argument(s), "
+                f"got {len(args)}: {arg_text!r}")
+        prefix: list[str] = []
+        for p, a in zip(params, args):
+            if _PLACEHOLDER.fullmatch(a):
+                repl = a  # $ref argument: substitute by name
+            else:
+                counter += 1
+                var = f"__macro{counter}_{p}"
+                prefix.append(f"#set(${{{var}}} = {a})")
+                repl = "${" + var + "}"
+            body = re.sub(
+                r"\$\{" + re.escape(p) + r"\}|\$" + re.escape(p) + r"(?!\w)",
+                lambda _m, _r=repl: _r, body)
+        template = (template[: m.start()] + "".join(prefix) + body
+                    + template[end:])
+    raise ValueError(
+        f"macro expansion exceeded {_MACRO_EXPANSION_CAP} calls — "
+        "recursive #macro?")
+
+
+def _tokenize(template: str, template_root: str | None,
+              depth: int) -> list[tuple]:
+    """Template text -> flat token stream of text pieces + directive marks.
+    Handles the compile-time directives here: #macro (extracted + expanded),
+    #include (file spliced verbatim as a literal), #parse (file tokenized
+    recursively)."""
+    if depth > _PARSE_DEPTH_CAP:
+        raise ValueError(
+            f"#parse/#include nesting exceeds {_PARSE_DEPTH_CAP} — "
+            "include cycle?")
+    template, macros = _extract_macros(template)
+    template = _expand_macros(template, macros)
+    tokens: list[tuple] = []
     pos = 0
     for m in _DIRECTIVE.finditer(template):
+        if m.start() < pos:
+            continue  # inside an already-consumed '(...)' argument
         name = m.group(1)
         if name not in _VELOCITY_DIRECTIVES:
             continue  # '#123' / '#section': literal text, not a directive
@@ -115,7 +228,26 @@ def compile_template(template: str) -> list[tuple]:
                 f"{sorted('#' + d for d in _SUPPORTED_DIRECTIVES)}")
         if m.start() > pos:
             tokens.extend(parse_template(template[pos : m.start()]))
-        if name in ("if", "elseif", "set", "foreach"):
+        if name in ("include", "parse"):
+            arg, end = _paren_arg(template, m.end())
+            files = [a or b for a, b in _QUOTED_FILE.findall(arg)]
+            if not files:
+                raise ValueError(
+                    f"#{name} needs quoted file name(s): #{name}(\"f\")")
+            if template_root is None:
+                raise ValueError(
+                    f"#{name} requires template_root= (the directory "
+                    "templates resolve against)")
+            for fname in files:
+                with open(os.path.join(template_root, fname),
+                          encoding="utf-8") as fh:
+                    text = fh.read()
+                if name == "include":
+                    tokens.append(("lit", text))  # verbatim, never parsed
+                else:
+                    tokens.extend(_tokenize(text, template_root, depth + 1))
+            pos = end
+        elif name in ("if", "elseif", "set", "foreach"):
             arg, end = _paren_arg(template, m.end())
             tokens.append(("#" + name, arg))
             pos = end
@@ -124,6 +256,17 @@ def compile_template(template: str) -> list[tuple]:
             pos = m.end()
     if pos < len(template):
         tokens.extend(parse_template(template[pos:]))
+    return tokens
+
+
+def compile_template(template: str, *,
+                     template_root: str | None = None) -> list[tuple]:
+    """Template -> AST of ('lit', s) / ('field', name) /
+    ('set', var, rhs) / ('if', [(cond, body), ...], else_body) /
+    ('foreach', var, src, body) nodes. #macro/#include/#parse resolve at
+    compile time (see module docstring); raises on any unsupported
+    directive."""
+    tokens = _tokenize(template, template_root, 0)
 
     def build(i: int, until: set[str]) -> tuple[list[tuple], int, str | None]:
         nodes: list[tuple] = []
@@ -185,8 +328,10 @@ class RenderTemplateStage:
         output_col: str = "content",
         strip_newlines: bool = True,
         keep_input_cols: bool = True,
+        template_root: str | None = None,
     ):
-        self.segments = compile_template(template)
+        self.segments = compile_template(template,
+                                         template_root=template_root)
         self.filter = re.compile(attribute_filter)
         self.output_col = output_col
         self.strip_newlines = strip_newlines

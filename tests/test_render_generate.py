@@ -144,11 +144,76 @@ def test_velocity_unsupported_directive_raises():
     from nifi_processors_ray.stages.render import RenderTemplateStage
 
     with _pytest.raises(ValueError, match="unsupported Velocity directive"):
-        RenderTemplateStage("#macro(m)$x#end")
+        RenderTemplateStage("#evaluate('$x')")
     with _pytest.raises(ValueError, match="unsupported Velocity directive"):
+        RenderTemplateStage("#define($block)x#end")
+    # #include/#parse are supported but need a template root to resolve
+    with _pytest.raises(ValueError, match="template_root"):
         RenderTemplateStage("#include('other.vm')")
     with _pytest.raises(ValueError, match="without matching"):
         RenderTemplateStage("#if($x)unclosed")
+
+
+def test_velocity_macro_expansion():
+    from nifi_processors_ray.stages.render import RenderTemplateStage
+
+    t = pa.table({"lang": ["en", "de"], "src": ["web", "book"]})
+    # $ref args substitute by name; literal args bind via generated #set;
+    # macros may call macros; definitions render to nothing themselves.
+    stage = RenderTemplateStage(
+        "#macro(tag $v)<$v>#end"
+        "#macro(pair $a $b)#tag($a)#tag($b)#end"
+        "#pair($lang $src)|#tag(\"lit\")",
+        output_col="content", keep_input_cols=False)
+    assert stage(t)["content"].to_pylist() == [
+        "<en><web>|<lit>", "<de><book>|<lit>"]
+
+
+def test_velocity_macro_body_directives_and_arity():
+    import pytest as _pytest
+
+    from nifi_processors_ray.stages.render import RenderTemplateStage
+
+    t = pa.table({"lang": ["en", "de"]})
+    stage = RenderTemplateStage(
+        "#macro(flag $v)#if($v == \"en\")EN#else--#end#end[#flag($lang)]",
+        output_col="content", keep_input_cols=False)
+    assert stage(t)["content"].to_pylist() == ["[EN]", "[--]"]
+    with _pytest.raises(ValueError, match="expects 1 argument"):
+        RenderTemplateStage("#macro(m $a)$a#end#m($x $y)")
+    with _pytest.raises(ValueError, match="recursive #macro"):
+        RenderTemplateStage("#macro(m $a)#m($a)#end#m($x)")
+
+
+def test_velocity_include_and_parse(tmp_path):
+    from nifi_processors_ray.stages.render import RenderTemplateStage
+
+    (tmp_path / "raw.txt").write_text("verbatim $notparsed #if")
+    (tmp_path / "sub.vm").write_text("#if($lang == \"en\")!EN#end")
+    t = pa.table({"lang": ["en", "de"]})
+    # include: spliced VERBATIM (refs/directives inside stay literal text)
+    stage = RenderTemplateStage(
+        "[#include(\"raw.txt\")]", output_col="content",
+        keep_input_cols=False, template_root=str(tmp_path))
+    assert stage(t)["content"].to_pylist() == [
+        "[verbatim $notparsed #if]"] * 2
+    # parse: compiled as a template against the row's columns
+    stage = RenderTemplateStage(
+        "$lang#parse(\"sub.vm\")", output_col="content",
+        keep_input_cols=False, template_root=str(tmp_path))
+    assert stage(t)["content"].to_pylist() == ["en!EN", "de"]
+
+
+def test_velocity_parse_cycle_raises(tmp_path):
+    import pytest as _pytest
+
+    from nifi_processors_ray.stages.render import RenderTemplateStage
+
+    (tmp_path / "a.vm").write_text("#parse(\"b.vm\")")
+    (tmp_path / "b.vm").write_text("#parse(\"a.vm\")")
+    with _pytest.raises(ValueError, match="include cycle"):
+        RenderTemplateStage("#parse(\"a.vm\")",
+                            template_root=str(tmp_path))
 
 
 def test_velocity_foreach_list_column():
