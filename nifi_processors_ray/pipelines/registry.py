@@ -1800,6 +1800,56 @@ FROM events l ASOF LEFT JOIN
 """
 
 
+def q_range_join_window(sf_dir: str):
+    """Validity-interval (range) join: each event joined to the covering
+    per-(user, day) activity window [day+2h, day+14h) — non-overlapping by
+    construction, the documented SCD-2 assumption of
+    ``stages.windows.range_join``. The intervals span 12 one-hour time
+    buckets, so the cross-bucket carry machinery is on the hot path."""
+    from ray.data.aggregate import Count
+
+    from ..stages.windows import range_join
+
+    US_DAY = 86_400_000_000
+    US_H = 3_600_000_000
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    left = events
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.multiply(pc.divide(pc.cast(batch["ts"], pa.int64()),
+                                    US_DAY), US_DAY)
+        t = pa.table({"user_id": batch["user_id"], "_day": day})
+        return t.group_by(["user_id", "_day"]).aggregate([])
+
+    days = events.map_batches(day_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).groupby(
+        ["user_id", "_day"]).aggregate(Count(alias_name="_n"))
+
+    def mk_iv(batch: pa.Table) -> pa.Table:
+        day = batch["_day"]
+        return pa.table({
+            "user_id": batch["user_id"],
+            "lo": pc.cast(pc.add(day, 2 * US_H), pa.timestamp("us")),
+            "hi": pc.cast(pc.add(day, 14 * US_H), pa.timestamp("us")),
+            "window_day": pc.cast(day, pa.timestamp("us")),
+        })
+
+    right = days.map_batches(mk_iv, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return range_join(left, right, on="ts", by="user_id", start_col="lo",
+                      end_col="hi", value_cols=["window_day"])
+
+
+SQL_RANGE_JOIN_WINDOW = """
+WITH iv AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+SELECT e.event_id, e.user_id, e.ts, iv.d AS window_day
+FROM events e LEFT JOIN iv
+  ON e.user_id = iv.user_id
+ AND e.ts >= iv.d + INTERVAL 2 HOUR
+ AND e.ts <  iv.d + INTERVAL 14 HOUR
+"""
+
+
 def q_top3_orders_per_priority(sf_dir: str):
     """topk_per_group: per-batch top-k combiner -> tiny groupby merge
     (the shuffle ships <= k rows per (group, batch))."""
@@ -1913,6 +1963,7 @@ QUERIES = {
     "value_quantiles_sketch": q_value_quantiles_sketch,
     "user_sessions": q_user_sessions,
     "asof_prior_view": q_asof_prior_view,
+    "range_join_window": q_range_join_window,
     "top3_orders_per_priority": q_top3_orders_per_priority,
 }
 
@@ -1963,6 +2014,7 @@ ORACLE_SQL = {
     "value_quantiles": SQL_VALUE_QUANTILES,
     "user_sessions": SQL_USER_SESSIONS,
     "asof_prior_view": SQL_ASOF_PRIOR_VIEW,
+    "range_join_window": SQL_RANGE_JOIN_WINDOW,
     "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
     # rows-only (non-SQL-expressible): generate_rows (seeded numpy,
     # pinned-hash pytest instead), fingerprints (SipHash),

@@ -8,6 +8,9 @@ map_batches + groupby().map_groups + sort where semantics allow).
 * ``session_stats``  — one row per (key, session) with start/end/count.
 * ``asof_join``      — for each left row, the latest right row with
   ``right.ts <= left.ts`` per key (point-in-time lookup).
+* ``range_join``     — validity-interval join: the right ``[start, end)``
+  interval covering each left point per key (SCD-2 semantics, composed on
+  the asof machinery — see its docstring for the non-overlap assumption).
 * ``topk_per_group`` — per-batch partial top-k combiner, then a small
   groupby merge — the shuffle ships at most ``k`` rows per (group, batch),
   never the full table.
@@ -549,6 +552,63 @@ def _asof_merge_factory(by, on, side_col, l_names, value_cols, out_names,
         return l
 
     return merge
+
+
+def range_join(left, right, *, on: str, by: str, start_col: str,
+               end_col: str, value_cols: list[str], suffix: str = "_right",
+               bucket_seconds: float | None = 3600,
+               max_group_rows: int | None = None):
+    """Validity-interval (range) join: attach, to each left row,
+    ``value_cols`` from the right interval ``[start_col, end_col)`` that
+    CONTAINS ``left.on`` within the same ``by`` key (nulls when no interval
+    covers it — left rows are always kept, so row count is stable).
+
+    ASSUMPTION (documented per SURVEY §2 custom-operator guidance): right
+    intervals are NON-OVERLAPPING per key — SCD-2 / validity-period
+    semantics (dimension versions, price validity windows, campaign
+    periods). Under that assumption the covering interval, when it exists,
+    is exactly the one with the latest ``start <= on`` — so the operator
+    composes as ``asof_join`` on the interval start (inheriting its
+    (key, time-bucket) hot-key bound and cross-bucket carry rows for
+    intervals that span buckets) followed by a vectorized ``end > on``
+    validity filter. If intervals overlap, the latest-starting one wins
+    silently — validate upstream when that matters."""
+    _RJ_END = "_rj_end"
+    l_names = list(left.schema().names)
+    out_names = {c: (c + suffix if c in l_names else c) for c in value_cols}
+    keep = [by, start_col, end_col] + value_cols
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.select(keep)
+        return batch.rename_columns(
+            [on if c == start_col else (_RJ_END if c == end_col else c)
+             for c in keep])
+
+    rt = right.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    j = asof_join(left, rt, on=on, by=by,
+                  value_cols=value_cols + [_RJ_END], suffix=suffix,
+                  bucket_seconds=bucket_seconds,
+                  max_group_rows=max_group_rows)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        end = pc.cast(batch[_RJ_END], pa.int64())
+        pt = pc.cast(batch[on], pa.int64())
+        ok = pc.greater(end, pt).fill_null(False)  # [start, end) exclusive
+        if isinstance(ok, pa.ChunkedArray):
+            ok = ok.combine_chunks()
+        for c in value_cols:
+            name = out_names[c]
+            col = batch[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            batch = batch.set_column(
+                batch.column_names.index(name), name,
+                pc.if_else(ok, col, pa.scalar(None, col.type)))
+        return batch.drop_columns([_RJ_END])
+
+    return j.map_batches(finalize, batch_format="pyarrow",
+                         zero_copy_batch=True)
 
 
 def topk_per_group(ds, *, group_col: str, order_col: str, k: int,

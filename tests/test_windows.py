@@ -301,3 +301,67 @@ def test_sliding_window_agg_covers_each_event_m_times():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="multiple of"):
         sliding_window_agg(ds, window_seconds=5000, slide_seconds=3600)
+
+
+def test_range_join_basic():
+    from nifi_processors_ray.stages.windows import range_join
+
+    left = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "t": pa.array([5, 15, 25, 2, 7], pa.int64()),
+    })
+    # non-overlapping validity intervals per key
+    right = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "lo": pa.array([3, 20, 10], pa.int64()),
+        "hi": pa.array([10, 30, 12], pa.int64()),
+        "tag": ["a", "b", "c"],
+    })
+    out = range_join(rd.from_arrow(left), rd.from_arrow(right), on="t",
+                     by="k", start_col="lo", end_col="hi",
+                     value_cols=["tag"], bucket_seconds=8).to_pandas()
+    out = out.sort_values(["k", "t"]).reset_index(drop=True)
+    # k=1: t=2 -> none; t=5 in [3,10) -> a; t=15 -> gap; t=25 in [20,30) -> b
+    # k=2: t=7 -> none ([10,12) starts later)
+    assert len(out) == 5
+    assert out["tag"].tolist() == [None, "a", None, "b", None]
+
+
+def test_range_join_matches_bruteforce():
+    from nifi_processors_ray.stages.windows import range_join
+
+    rng = np.random.default_rng(42)
+    n_keys, n_left = 12, 800
+    lk = rng.integers(0, n_keys, n_left)
+    lt = rng.integers(0, 10_000, n_left)
+    # non-overlapping intervals per key: random cut points, every other
+    # span is a validity interval (some spanning many 100-wide buckets)
+    rk, lo, hi, pay = [], [], [], []
+    for k in range(n_keys):
+        cuts = np.unique(rng.integers(0, 10_000, 14))
+        for i in range(0, len(cuts) - 1, 2):
+            rk.append(k); lo.append(int(cuts[i])); hi.append(int(cuts[i + 1]))
+            pay.append(k * 1000 + i)
+    left = pa.table({"k": pa.array(lk, pa.int64()),
+                     "t": pa.array(lt, pa.int64())})
+    right = pa.table({"k": pa.array(rk, pa.int64()),
+                      "lo": pa.array(lo, pa.int64()),
+                      "hi": pa.array(hi, pa.int64()),
+                      "pay": pa.array(pay, pa.int64())})
+    out = range_join(rd.from_arrow(left), rd.from_arrow(right), on="t",
+                     by="k", start_col="lo", end_col="hi",
+                     value_cols=["pay"], bucket_seconds=100).to_pandas()
+    out = out.sort_values(["k", "t"]).reset_index(drop=True)
+    # brute force
+    import pandas as pd
+    exp = []
+    rdf = right.to_pandas()
+    for k, t in zip(lk, lt):
+        m = rdf[(rdf.k == k) & (rdf.lo <= t) & (t < rdf.hi)]
+        exp.append((k, t, m["pay"].iloc[0] if len(m) else None))
+    edf = (pd.DataFrame(exp, columns=["k", "t", "pay"])
+           .sort_values(["k", "t"]).reset_index(drop=True))
+    assert len(out) == len(edf)
+    got = out["pay"].astype("float64").to_numpy()
+    want = edf["pay"].astype("float64").to_numpy()
+    assert ((np.isnan(got) & np.isnan(want)) | (got == want)).all()
