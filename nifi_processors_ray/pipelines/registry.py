@@ -409,6 +409,68 @@ SELECT user_id, event_id, event_type, value FROM latest WHERE op = 'upsert'
 """
 
 
+def q_cdc_incremental_agg(sf_dir: str):
+    """Incrementally-maintained materialized aggregate (state/matview.py):
+    events framed as the CDC tail of q_cdc_events_latest, applied in two
+    epochs, with ``IncrementalAggView`` refreshed AFTER EACH epoch — the
+    second refresh exercises real retractions (epoch-0 winners beaten by
+    epoch-1 rows, group moves, deletes). Final view state must equal a
+    from-scratch GROUP BY over the latest-row-per-key snapshot."""
+    from ..state.matview import IncrementalAggView
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "event_type", "value"])
+
+    def frame(batch: pa.Table) -> pa.Table:
+        op = pc.if_else(pc.equal(batch["event_type"], "error"),
+                        pa.scalar("delete"), pa.scalar("upsert"))
+        return batch.append_column("op", op)
+
+    framed = events.map_batches(frame, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def _parity(p):
+        def f(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(batch["event_id"], pa.scalar(1, pa.int64())),
+                p)
+            return batch.filter(keep)
+
+        return f
+
+    root = tempfile.mkdtemp(prefix="cdc_matview_", dir="/tmp")
+    lake = LakeTable(os.path.join(root, "lake"), key_cols=("user_id",),
+                     seq_col="event_id", op_col="op", num_partitions=16)
+    try:
+        view = IncrementalAggView(lake, os.path.join(root, "view"),
+                                  name="by_type", group_cols=["event_type"],
+                                  value_col="value")
+        for p in (0, 1):
+            lake.apply_epoch(
+                framed.map_batches(_parity(p), batch_format="pyarrow",
+                                   zero_copy_batch=True), p)
+            out = view.refresh()
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    return _int_encode(out, {"sum_value": 0})
+
+
+SQL_CDC_INCREMENTAL_AGG = """
+WITH framed AS (
+  SELECT user_id, event_id, event_type, value,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM events),
+latest AS (
+  SELECT * FROM framed
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+SELECT event_type, COUNT(*) AS cnt,
+       CAST(ROUND(SUM(value)) AS BIGINT) AS sum_value
+FROM latest WHERE op = 'upsert' GROUP BY event_type
+"""
+
+
 def q_latest_event_per_user(sf_dir: str):
     """LWW as a pure operator (no sink): per-batch combiner, then ONE
     grouped arg-max per key-hash PARTITION — ``latest_by_key`` resolves
@@ -1915,6 +1977,7 @@ QUERIES = {
     "stage_provenance": q_stage_provenance,
     "generate_rows": q_generate_rows,
     "cdc_events_latest": q_cdc_events_latest,
+    "cdc_incremental_agg": q_cdc_incremental_agg,
     "latest_event_per_user": q_latest_event_per_user,
     "cdc_documents_snapshot": q_cdc_documents_snapshot,
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -1977,6 +2040,7 @@ ORACLE_SQL = {
     "rule_geonames": SQL_RULE_GEONAMES,
     "stage_provenance": SQL_STAGE_PROVENANCE,
     "cdc_events_latest": SQL_CDC_EVENTS_LATEST,
+    "cdc_incremental_agg": SQL_CDC_INCREMENTAL_AGG,
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
     "cdc_documents_snapshot": SQL_CDC_DOCUMENTS_SNAPSHOT,
     "q1_pricing_summary": SQL_Q1,

@@ -1,3 +1,4 @@
 from .lake import LakeTable, latest_by_key
+from .matview import IncrementalAggView
 
-__all__ = ["LakeTable", "latest_by_key"]
+__all__ = ["LakeTable", "latest_by_key", "IncrementalAggView"]

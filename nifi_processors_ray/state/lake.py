@@ -744,7 +744,9 @@ class LakeTable:
 
     def read(self, *, drop_meta: bool = True,
              columns: list[str] | None = None,
-             as_of_epoch: int | None = None):
+             as_of_epoch: int | None = None,
+             pids: "set[int] | None" = None,
+             keep_tombstones: bool = False):
         """Current table state as a streaming ``ray.data.Dataset`` — one
         merge-on-read task per (pid, salt) sub-partition (see
         ``_PartitionResolver``: a hot pid fans out to k bounded tasks
@@ -755,15 +757,27 @@ class LakeTable:
         storage) — a 2-column read of a wide table no longer pays for
         ``content``. ``as_of_epoch`` TIME-TRAVELS to the snapshot as of
         that committed epoch (see ``_as_of_state`` for reconstructability
-        rules)."""
+        rules). ``pids`` prunes to the given hash partitions (the
+        incremental-refresh read path: touch only partitions whose keys
+        changed — see ``changed_keys`` / ``state.matview``).
+        ``keep_tombstones=True`` returns per-key LWW winners INCLUDING
+        delete markers (op column retained) — required by consumers that
+        LWW-compare late rows against the full key history, e.g. the
+        matview retraction read. Note tombstones folded into a compacted
+        base are physically gone (the lake's monotone-seq contract), so
+        the flag only surfaces tombstones still in delta fragments."""
         import ray.data as rd
 
         base_version, pending = (self._pending_state()
                                  if as_of_epoch is None
                                  else self._as_of_state(as_of_epoch))
-        resolver = self._resolver(pending, drop_tombstones=True,
+        resolver = self._resolver(pending,
+                                  drop_tombstones=not keep_tombstones,
                                   drop_meta=drop_meta, columns=columns)
         plan = self._salt_plan(base_version, pending)
+        if pids is not None:
+            want = {int(p) for p in pids}
+            plan = {pid: v for pid, v in plan.items() if pid in want}
 
         def resolve(batch: pa.Table) -> pa.Table:
             out = [
@@ -780,6 +794,8 @@ class LakeTable:
             for pid, (k, k_old) in plan.items()
             for s in range(k)
         ]
+        if not items:
+            return rd.from_arrow(resolver._empty())
         subs = rd.from_items(items, override_num_blocks=len(items))
         return subs.map_batches(resolve, batch_format="pyarrow", batch_size=1)
 
