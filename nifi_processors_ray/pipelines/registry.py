@@ -845,6 +845,42 @@ FROM documents GROUP BY text
 """
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """C4-style paragraph-level exact dedup (stages/dedup.paragraph_dedup):
+    keep the globally-first occurrence of every distinct paragraph and
+    rebuild each doc from its survivors. The synthetic docs are single-line
+    word soup, so the query splits on the literal ``' the '`` to get
+    genuinely repeated cross-document segments; real corpora use the
+    default blank-line separator."""
+    from ..stages.dedup import paragraph_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return paragraph_dedup(docs, sep=" the ", num_partitions=32,
+                           doc_partitions=32)
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH paras AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS idx, unnest(l) AS p
+  FROM (SELECT doc_id, string_split(text, ' the ') AS l FROM documents)
+),
+winners AS (
+  SELECT doc_id, idx FROM (
+    SELECT doc_id, idx,
+           row_number() OVER (PARTITION BY p ORDER BY doc_id, idx) AS rn
+    FROM paras) WHERE rn = 1
+),
+kept AS (
+  SELECT pa.doc_id, pa.idx, pa.p
+  FROM paras pa JOIN winners w ON pa.doc_id = w.doc_id AND pa.idx = w.idx
+)
+SELECT d.doc_id, COALESCE(k.text, '') AS text
+FROM documents d LEFT JOIN (
+  SELECT doc_id, string_agg(p, ' the ' ORDER BY idx) AS text
+  FROM kept GROUP BY doc_id) k USING (doc_id)
+"""
+
+
 def q_token_counts(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(
@@ -1987,6 +2023,7 @@ QUERIES = {
     "events_by_type": q_events_by_type,
     "events_hourly_window": q_events_hourly_window,
     "exact_dedup": q_exact_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
     "token_counts": q_token_counts,
     "token_counts_bpe": q_token_counts_bpe,
     "quality_scores": q_quality_scores,
@@ -2050,6 +2087,7 @@ ORACLE_SQL = {
     "events_by_type": SQL_EVENTS_BY_TYPE,
     "events_hourly_window": SQL_EVENTS_HOURLY_WINDOW,
     "exact_dedup": SQL_EXACT_DEDUP,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "token_counts": SQL_TOKEN_COUNTS,
     "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
     "quality_scores": SQL_QUALITY_SCORES,

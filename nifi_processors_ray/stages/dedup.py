@@ -827,3 +827,143 @@ class ContaminationStage:
         out = out.append_column("overlap_frac", pa.array(frac, pa.float64()))
         return out.append_column("contaminated",
                                  pa.array(frac >= self.threshold))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (C4 / CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    sep: str = "\n\n", num_partitions: int = 64,
+                    doc_partitions: int = 64):
+    """C4/CCNet-style paragraph-level exact dedup: split each document on
+    ``sep``, keep only the GLOBALLY FIRST occurrence of every distinct
+    paragraph (first = lexicographically least ``(id, paragraph_index)``),
+    and reassemble each document from its surviving paragraphs in order.
+    Returns ``(id_col, text_col)``; a document whose every paragraph is a
+    duplicate keeps its row with an empty string (stable row count).
+
+    Scale shape (10^10-doc design point): TWO narrow shuffles and zero
+    content movement until the final doc-partitioned rebuild —
+    1. explode to ``(id, idx, hash64(paragraph))`` per batch (content never
+       leaves the task), shuffle ``(hash, id, idx)`` partitioned by hash;
+    2. winners per hash partition via one lexsort (no per-paragraph
+       dispatch), shuffle the KEPT ``(id, idx)`` pairs partitioned by id;
+    3. rebuild per id partition: original docs co-partitioned with their
+       kept indices, re-split locally, gather + join — vectorized with one
+       flat paragraph array per group.
+    Paragraph identity is the 64-bit content hash (same collision stance
+    as ``exact_dedup``). Real corpora split on blank lines (the default
+    ``sep``); any literal separator works."""
+    id_t = None  # resolved from the first batch
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        parts = pc.split_pattern(text, sep)
+        flat = pc.list_flatten(parts)
+        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts).astype(np.int64)
+        offsets = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        idx = np.arange(int(offsets[-1]), dtype=np.int64) - np.repeat(
+            offsets[:-1], counts)
+        ids = pc.take(batch[id_col],
+                      pa.array(np.repeat(np.arange(len(counts)), counts)))
+        ph = stable_hash64(flat)
+        return pa.table({
+            id_col: ids,
+            "_pidx": pa.array(idx),
+            "_ph": pa.array(ph.view(np.int64)),
+            "_part": pa.array((ph % np.uint64(num_partitions))
+                              .astype(np.int64)),
+        })
+
+    def winners(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col])
+        idx = np.asarray(group["_pidx"])
+        ph = np.asarray(group["_ph"])
+        order = np.lexsort((idx, ids, ph))
+        ph_s = ph[order]
+        first = np.ones(len(ph_s), dtype=bool)
+        if len(ph_s) > 1:
+            first[1:] = ph_s[1:] != ph_s[:-1]
+        kept = group.take(pa.array(order[first])).select([id_col, "_pidx"])
+        h = stable_hash64(kept[id_col])
+        return kept.append_column(
+            "_dpart", pa.array((h % np.uint64(doc_partitions))
+                               .astype(np.int64)))
+
+    kept_pairs = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(winners, batch_format="pyarrow")
+    )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        h = stable_hash64(batch[id_col])
+        return pa.table({
+            id_col: batch[id_col],
+            text_col: batch[text_col],
+            "_pidx": pa.nulls(batch.num_rows, pa.int64()),
+            "_dpart": pa.array((h % np.uint64(doc_partitions))
+                               .astype(np.int64)),
+        })
+
+    def tag_kept(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            text_col: pa.nulls(batch.num_rows, pa.string()),
+            "_pidx": batch["_pidx"],
+            "_dpart": batch["_dpart"],
+        })
+
+    docs_tagged = ds.map_batches(tag_docs, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    kept_tagged = kept_pairs.map_batches(tag_kept, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(group[text_col])
+        docs = group.filter(is_doc)
+        kept = group.filter(pc.invert(is_doc))
+        text = docs[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        parts = pc.split_pattern(text, sep)
+        flat = pc.list_flatten(parts)
+        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts).astype(np.int64)
+        offsets = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        # doc_id -> row position in this group's docs table
+        doc_ids = np.asarray(docs[id_col])
+        order = np.argsort(doc_ids, kind="stable")
+        sorted_ids = doc_ids[order]
+        k_ids = np.asarray(kept[id_col])
+        k_idx = np.asarray(kept["_pidx"])
+        pos = np.searchsorted(sorted_ids, k_ids)
+        row = order[np.clip(pos, 0, max(0, len(order) - 1))] if len(order) \
+            else np.zeros(0, np.int64)
+        valid = (len(order) > 0) & (sorted_ids[np.clip(
+            pos, 0, max(0, len(sorted_ids) - 1))] == k_ids) if len(k_ids) \
+            else np.zeros(0, dtype=bool)
+        row, k_idx = row[valid], k_idx[valid]
+        flat_pos = offsets[row] + k_idx
+        sel = np.lexsort((k_idx, row))
+        flat_pos = flat_pos[sel]
+        row_s = row[sel]
+        kept_flat = flat.take(pa.array(flat_pos))
+        per_doc = np.bincount(row_s, minlength=len(counts)).astype(np.int64)
+        new_off = np.zeros(len(per_doc) + 1, np.int64)
+        np.cumsum(per_doc, out=new_off[1:])
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(new_off, pa.int32()),
+                                     kept_flat), sep)
+        return pa.table({id_col: docs[id_col], text_col: joined})
+
+    return (docs_tagged.union(kept_tagged)
+            .groupby("_dpart")
+            .map_groups(rebuild, batch_format="pyarrow"))

@@ -277,3 +277,56 @@ def test_contamination_stage_flags_benchmark_overlap():
                    flagged["contaminated"].to_pylist()))
     assert got[3] is True     # BASE doc contains the fox sentence
     assert got[0] is False
+
+
+def test_paragraph_dedup_matches_bruteforce():
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.dedup import paragraph_dedup
+
+    docs = [
+        (0, "alpha beta\n\nshared one\n\ngamma"),
+        (1, "shared one\n\ndelta\n\nshared two"),
+        (2, "shared two\n\nshared one\n\nepsilon\n\nshared one"),
+        (3, "shared one\n\nshared two"),          # fully duplicated -> ""
+        (4, ""),                                   # empty doc: one "" para
+        (5, "\n\nzeta"),                           # leading empty para (dup of 4's "")
+    ]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": [t for _, t in docs]})
+    out = paragraph_dedup(rd.from_arrow(tbl), num_partitions=4,
+                          doc_partitions=4).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+
+    # brute force: first global occurrence of each paragraph wins
+    seen = {}
+    for d, t in docs:
+        for i, p in enumerate(t.split("\n\n")):
+            seen.setdefault(p, (d, i))
+    want = []
+    for d, t in docs:
+        kept = [p for i, p in enumerate(t.split("\n\n"))
+                if seen[p] == (d, i)]
+        want.append("\n\n".join(kept))
+    assert out["doc_id"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert out["text"].tolist() == want
+
+
+def test_paragraph_dedup_stable_rowcount_and_order_dedup():
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.dedup import paragraph_dedup
+
+    # 200 docs over a 10-paragraph pool: every paragraph survives exactly
+    # once, rows are preserved, and total kept paragraphs == pool size
+    pool = [f"para {i} body" for i in range(10)]
+    rng = np.random.default_rng(3)
+    ids = list(range(200))
+    texts = ["\n\n".join(pool[j] for j in rng.integers(0, 10, size=5))
+             for _ in ids]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    out = paragraph_dedup(rd.from_arrow(tbl), num_partitions=8,
+                          doc_partitions=8).to_pandas()
+    assert len(out) == 200
+    kept_all = [p for t in out["text"] if t for p in t.split("\n\n")]
+    assert sorted(kept_all) == sorted(set(kept_all)) == sorted(pool)
