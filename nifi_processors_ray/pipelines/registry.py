@@ -1948,6 +1948,30 @@ FROM events e LEFT JOIN iv
 """
 
 
+def q_lag_lead_events(sf_dir: str):
+    """Per-key ordered LAG/LEAD (stages/windows.lag_lead): each event's
+    previous and next value within its user's timeline — the bounded
+    (key, time-bucket) + boundary-carry composition, 1h buckets."""
+    from ..stages.windows import lag_lead
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "ts", "value"])
+    out = lag_lead(events, key_col="user_id", order_col="ts",
+                   value_cols=["value"], tiebreak_col="event_id",
+                   bucket_seconds=3600)
+    return _round_cols(_to_table(out), {"value_lag": 6, "value_lead": 6,
+                                        "value": 6})
+
+
+SQL_LAG_LEAD_EVENTS = """
+SELECT event_id, user_id, ts, ROUND(value, 6) AS value,
+       ROUND(LAG(value) OVER w, 6) AS value_lag,
+       ROUND(LEAD(value) OVER w, 6) AS value_lead
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_top3_orders_per_priority(sf_dir: str):
     """topk_per_group: per-batch top-k combiner -> tiny groupby merge
     (the shuffle ships <= k rows per (group, batch))."""
@@ -2064,6 +2088,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "asof_prior_view": q_asof_prior_view,
     "range_join_window": q_range_join_window,
+    "lag_lead_events": q_lag_lead_events,
     "top3_orders_per_priority": q_top3_orders_per_priority,
 }
 
@@ -2117,6 +2142,7 @@ ORACLE_SQL = {
     "user_sessions": SQL_USER_SESSIONS,
     "asof_prior_view": SQL_ASOF_PRIOR_VIEW,
     "range_join_window": SQL_RANGE_JOIN_WINDOW,
+    "lag_lead_events": SQL_LAG_LEAD_EVENTS,
     "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
     # rows-only (non-SQL-expressible): generate_rows (seeded numpy,
     # pinned-hash pytest instead), fingerprints (SipHash),

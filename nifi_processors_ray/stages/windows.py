@@ -611,6 +611,172 @@ def range_join(left, right, *, on: str, by: str, start_col: str,
                          zero_copy_batch=True)
 
 
+def lag_lead(ds, *, key_col: str, order_col: str, value_cols: list[str],
+             tiebreak_col: str | None = None,
+             lag_suffix: str = "_lag", lead_suffix: str = "_lead",
+             bucket_seconds: float | None = 3600,
+             max_group_rows: int | None = None):
+    """SQL ``LAG(col, 1)`` / ``LEAD(col, 1)`` over
+    ``PARTITION BY key ORDER BY order_col[, tiebreak_col]``: attach each
+    row its per-key predecessor's and successor's ``value_cols`` (null at
+    the key's edges). Ties in ``order_col`` need ``tiebreak_col`` for a
+    deterministic order (SQL has the same requirement). Larger offsets
+    compose by repeated application.
+
+    Bounded composition per the module docstring: rows co-group on
+    (key, time-bucket) hash partitions; each (key, bucket) segment
+    additionally receives the LAST row of the key's previous non-empty
+    bucket and the FIRST row of its next non-empty bucket as carry rows —
+    one narrow row each — so the segment kernel (one sort + shifted
+    gather) sees every cross-bucket neighbor. ``bucket_seconds=None``
+    opts out into the single-shuffle whole-key mode."""
+    side_col = "_ll_side"  # -1 carry-prev, 0 real, +1 carry-next
+    l_schema = ds.schema()
+    types = dict(zip(l_schema.names, l_schema.types))
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    keep = list(dict.fromkeys(
+        [key_col] + order_cols + value_cols))
+    single_shuffle = bucket_seconds is None
+    width = ((1 << 60) if single_shuffle
+             else max(1, int(bucket_seconds * _ts_scale(types[order_col]))))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(batch[order_col], pa.int64()))
+        batch = batch.append_column("_tsb", pa.array(ts // width))
+        batch = batch.append_column(
+            side_col, pa.array(np.zeros(batch.num_rows, np.int8)))
+        h = hash64_columns(batch, [key_col, "_tsb"])
+        return batch.append_column(
+            "_wp", pa.array((h % np.uint64(_WINDOW_PARTITIONS))
+                            .astype(np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def boundary_partial(batch: pa.Table) -> pa.Table:
+        """Per-batch combiner: first + last row per (key, bucket), narrow
+        (key, order cols, value cols only)."""
+        b = batch.select(keep + ["_tsb"])
+        sort_keys = ([(key_col, "ascending"), ("_tsb", "ascending")]
+                     + [(c, "ascending") for c in order_cols])
+        t = b.take(pc.sort_indices(b, sort_keys=sort_keys))
+        new = _seg_change(t, [key_col, "_tsb"])
+        last = np.roll(new, -1)
+        if len(last):
+            last[-1] = True
+        return t.filter(pa.array(new | last))
+
+    def make_carries(g: pa.Table) -> pa.Table:
+        """Per key partition over boundary rows: previous bucket's last
+        row rides forward (side -1), next bucket's first row rides
+        backward (side +1), each retagged to the destination bucket."""
+        sort_keys = ([(key_col, "ascending"), ("_tsb", "ascending")]
+                     + [(c, "ascending") for c in order_cols])
+        t = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        t = t.drop_columns(["_kp"])
+        n = t.num_rows
+        if n == 0:
+            empty = t.append_column(side_col, pa.array([], pa.int8()))
+            return empty.append_column("_wp", pa.array([], pa.int64()))
+        new_bucket = _seg_change(t, [key_col, "_tsb"])
+        new_key = _seg_change(t, [key_col])
+        tsb = np.asarray(t["_tsb"])
+        starts = np.flatnonzero(new_bucket)
+        outs, sides, dest = [], [], []
+        # carry-prev: for each bucket start (not first of key), row start-1
+        src_prev = starts[~new_key[starts]] - 1
+        if len(src_prev):
+            outs.append(t.take(pa.array(src_prev)))
+            sides.append(np.full(len(src_prev), -1, np.int8))
+            dest.append(tsb[src_prev + 1])
+        # carry-next: for each bucket's last row followed by a same-key
+        # bucket, the NEXT bucket's first row rides back
+        ends = np.append(starts[1:] - 1, n - 1)
+        nxt = ends + 1
+        ok = (nxt < n) & ~new_key[np.minimum(nxt, n - 1)]
+        src_next = nxt[ok]
+        if len(src_next):
+            outs.append(t.take(pa.array(src_next)))
+            sides.append(np.full(len(src_next), 1, np.int8))
+            dest.append(tsb[src_next - 1])
+        if not outs:
+            empty = t.slice(0, 0).append_column(
+                side_col, pa.array([], pa.int8()))
+            return empty.append_column("_wp", pa.array([], pa.int64()))
+        out = pa.concat_tables(outs)
+        side = np.concatenate(sides)
+        d = np.concatenate(dest)
+        out = out.set_column(out.column_names.index("_tsb"), "_tsb",
+                             pa.array(d))
+        out = out.append_column(side_col, pa.array(side))
+        h = hash64_columns(out, [key_col, "_tsb"])
+        return out.append_column(
+            "_wp", pa.array((h % np.uint64(_WINDOW_PARTITIONS))
+                            .astype(np.int64)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        # carry-prev sorts before / carry-next after every real row of the
+        # destination segment: carries come from adjacent buckets, so their
+        # order_col values lie strictly outside the segment's range
+        sort_keys = ([(key_col, "ascending"), ("_tsb", "ascending")]
+                     + [(c, "ascending") for c in order_cols]
+                     + [(side_col, "ascending")])
+        t = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        n = t.num_rows
+        new_seg = _seg_change(t, [key_col, "_tsb"])
+        _check_segments(new_seg, max_group_rows, "lag_lead (key,bucket)")
+        side = np.asarray(t[side_col])
+        idx = np.arange(n, dtype=np.int64)
+        has_prev = ~new_seg
+        prev = np.where(has_prev, idx - 1, 0)
+        nxt_seg = np.roll(new_seg, -1)
+        if n:
+            nxt_seg[-1] = True
+        has_next = ~nxt_seg
+        nxt = np.where(has_next, idx + 1, 0)
+        real = side == 0
+        out = t.filter(pa.array(real))
+        for c in value_cols:
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lagv = pc.if_else(pa.array(has_prev), col.take(pa.array(prev)),
+                              pa.scalar(None, col.type))
+            leadv = pc.if_else(pa.array(has_next), col.take(pa.array(nxt)),
+                               pa.scalar(None, col.type))
+            out = out.append_column(c + lag_suffix,
+                                    lagv.filter(pa.array(real)))
+            out = out.append_column(c + lead_suffix,
+                                    leadv.filter(pa.array(real)))
+        return out.drop_columns(["_tsb", "_wp", side_col])
+
+    if single_shuffle:
+        return tagged.groupby("_wp").map_groups(merge,
+                                                batch_format="pyarrow")
+    boundaries = tagged.map_batches(boundary_partial,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    carries_narrow = (_key_partition(boundaries, key_col)
+                      .groupby("_kp")
+                      .map_groups(make_carries, batch_format="pyarrow"))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        for name in l_schema.names:
+            if name not in batch.column_names:
+                batch = batch.append_column(name, pa.nulls(n, types[name]))
+        return batch.select(list(l_schema.names)
+                            + ["_tsb", side_col, "_wp"])
+
+    carries = carries_narrow.map_batches(widen, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    aligned = tagged.map_batches(
+        lambda b: b.select(list(l_schema.names) + ["_tsb", side_col, "_wp"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return aligned.union(carries).groupby("_wp").map_groups(
+        merge, batch_format="pyarrow")
+
+
 def topk_per_group(ds, *, group_col: str, order_col: str, k: int,
                    descending: bool = True, tiebreak_col: str | None = None):
     """Top-k rows per group. Stage 1 (map_batches combiner) keeps only the

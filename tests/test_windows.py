@@ -365,3 +365,64 @@ def test_range_join_matches_bruteforce():
     got = out["pay"].astype("float64").to_numpy()
     want = edf["pay"].astype("float64").to_numpy()
     assert ((np.isnan(got) & np.isnan(want)) | (got == want)).all()
+
+
+def _ll_brute(lk, lt, lv):
+    import pandas as pd
+    df = pd.DataFrame({"k": lk, "t": lt, "v": lv}).sort_values(["k", "t"])
+    df["v_lag"] = df.groupby("k")["v"].shift(1)
+    df["v_lead"] = df.groupby("k")["v"].shift(-1)
+    return df.sort_values(["k", "t"]).reset_index(drop=True)
+
+
+def test_lag_lead_matches_bruteforce_with_carries():
+    from nifi_processors_ray.stages.windows import lag_lead
+
+    rng = np.random.default_rng(17)
+    n, n_keys = 3000, 8
+    lk = rng.integers(0, n_keys, n)
+    # unique order values per key so pandas shift is a valid oracle
+    lt = np.arange(n, dtype=np.int64)
+    rng.shuffle(lt)
+    lv = rng.normal(size=n)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()), "t": pa.array(lt, pa.int64()),
+        "v": pa.array(lv, pa.float64())}))
+    # bucket width 100 over t in [0, 3000): ~30 buckets -> many carries
+    out = lag_lead(ds, key_col="k", order_col="t", value_cols=["v"],
+                   bucket_seconds=100).to_pandas()
+    out = out.sort_values(["k", "t"]).reset_index(drop=True)
+    want = _ll_brute(lk, lt, lv)
+    assert len(out) == n
+    assert np.allclose(out["v_lag"].to_numpy(), want["v_lag"].to_numpy(),
+                       equal_nan=True)
+    assert np.allclose(out["v_lead"].to_numpy(), want["v_lead"].to_numpy(),
+                       equal_nan=True)
+    # single-shuffle opt-out agrees
+    out1 = lag_lead(ds, key_col="k", order_col="t", value_cols=["v"],
+                    bucket_seconds=None).to_pandas()
+    out1 = out1.sort_values(["k", "t"]).reset_index(drop=True)
+    assert np.allclose(out1["v_lag"].to_numpy(), want["v_lag"].to_numpy(),
+                       equal_nan=True)
+    assert np.allclose(out1["v_lead"].to_numpy(), want["v_lead"].to_numpy(),
+                       equal_nan=True)
+
+
+def test_lag_lead_sparse_buckets_and_singletons():
+    from nifi_processors_ray.stages.windows import lag_lead
+
+    # key 1: rows in far-apart buckets (empty buckets between); key 2:
+    # singleton; key 3: all rows in one bucket
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+        "t": pa.array([5, 1000, 5000, 50, 7, 8], pa.int64()),
+        "v": pa.array([10.0, 20.0, 30.0, 1.0, 5.0, 6.0]),
+    })
+    out = lag_lead(rd.from_arrow(tbl), key_col="k", order_col="t",
+                   value_cols=["v"], bucket_seconds=10).to_pandas()
+    out = out.sort_values(["k", "t"]).reset_index(drop=True)
+    assert out["v_lag"].tolist()[:3] == [None, 10.0, 20.0] or \
+        (np.isnan(out["v_lag"][0]) and out["v_lag"].tolist()[1:3]
+         == [10.0, 20.0])
+    assert np.isnan(out["v_lag"][3]) and np.isnan(out["v_lead"][3])
+    assert out["v_lead"].tolist()[4] == 6.0 and np.isnan(out["v_lead"][5])
