@@ -1948,6 +1948,29 @@ FROM events e LEFT JOIN iv
 """
 
 
+def q_tfidf(sf_dir: str):
+    """Corpus TF-IDF (stages/textstats.tfidf): single-tokenize explode,
+    token-partition df reduction, broadcast sorted-hash idf lookup."""
+    from ..stages.textstats import tfidf
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tfidf(docs)
+    return _round_cols(_to_table(out), {"tfidf": 6})
+
+
+SQL_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+"""
+
+
 def q_lag_lead_events(sf_dir: str):
     """Per-key ordered LAG/LEAD (stages/windows.lag_lead): each event's
     previous and next value within its user's timeline — the bounded
@@ -2089,6 +2112,7 @@ QUERIES = {
     "asof_prior_view": q_asof_prior_view,
     "range_join_window": q_range_join_window,
     "lag_lead_events": q_lag_lead_events,
+    "tfidf": q_tfidf,
     "top3_orders_per_priority": q_top3_orders_per_priority,
 }
 
@@ -2143,6 +2167,7 @@ ORACLE_SQL = {
     "asof_prior_view": SQL_ASOF_PRIOR_VIEW,
     "range_join_window": SQL_RANGE_JOIN_WINDOW,
     "lag_lead_events": SQL_LAG_LEAD_EVENTS,
+    "tfidf": SQL_TFIDF,
     "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
     # rows-only (non-SQL-expressible): generate_rows (seeded numpy,
     # pinned-hash pytest instead), fingerprints (SipHash),

@@ -263,3 +263,106 @@ def token_frequencies(ds, *, text_col: str = "text", top_k: int | None = None):
     if top_k is not None:
         freq = freq.sort(["n", "token"], descending=[True, False]).limit(top_k)
     return freq
+
+
+def tfidf(ds, *, id_col: str = "doc_id", text_col: str = "text",
+          max_broadcast_bytes: int | None = None):
+    """Corpus TF-IDF: one row per distinct (doc, token) pair with
+    ``tf`` (occurrences in the doc), ``df`` (docs containing the token)
+    and ``tfidf = tf * ln(N / df)``.
+
+    Scale shape: the (doc, token, tf) explode happens once per batch via a
+    single pyarrow ``group_by`` (no per-row Python) and is materialized so
+    the corpus is tokenized exactly once; df partials are one row per
+    distinct token per batch; the df table broadcasts as a sorted
+    (hash64(token) -> df) array when it fits the byte budget (vocabulary,
+    not corpus, sized) and falls back to the partitioned ``bucket_join``
+    past it. The ln expression matches the SQL twin term for term."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+    from .joins import DEFAULT_BROADCAST_BUDGET, bucket_join
+
+    budget = (max_broadcast_bytes if max_broadcast_bytes is not None
+              else DEFAULT_BROADCAST_BUDGET)
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(text.fill_null("")), r"\s+")
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts).astype(np.int64)
+        rows = np.repeat(np.arange(len(counts)), counts)
+        t = pa.table({id_col: pc.take(batch[id_col], pa.array(rows)),
+                      "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        g = t.group_by([id_col, "token"]).aggregate([("token", "count")])
+        return pa.table({id_col: g[id_col], "token": g["token"],
+                         "tf": pc.cast(g["token_count"], pa.int64())})
+
+    # each document is one input row, so per-batch (doc, token) pairs are
+    # globally distinct — df is a plain count of pairs per token
+    pairs = ds.map_batches(doc_tokens, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    n_docs = float(ds.count())
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("token").aggregate([("token", "count")])
+        return pa.table({"token": g["token"],
+                         "df": pc.cast(g["token_count"], pa.int64())})
+
+    df = (pairs.map_batches(df_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+          .groupby("token").aggregate(Sum("df", alias_name="df")))
+
+    if df.size_bytes() is None or df.size_bytes() > budget:
+        # vocabulary outgrew the broadcast budget: partitioned hash join
+        j = bucket_join(pairs, df, left_on="token", right_on="token")
+
+        def with_idf(batch: pa.Table) -> pa.Table:
+            tf = np.asarray(batch["tf"], dtype=np.float64)
+            dfv = np.asarray(batch["df"], dtype=np.float64)
+            return batch.append_column(
+                "tfidf", pa.array(tf * np.log(n_docs / dfv), pa.float64()))
+
+        return j.map_batches(with_idf, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    df_tabs = [t for t in ray.get(df.to_arrow_refs()) if t.num_rows]
+    if df_tabs:
+        df_tab = pa.concat_tables(df_tabs, promote_options="default")
+        h = stable_hash64(df_tab["token"])
+        order = np.argsort(h)
+        ref = ray.put((h[order],
+                       np.asarray(df_tab["df"], np.int64)[order]))
+    else:
+        ref = ray.put((np.empty(0, np.uint64), np.empty(0, np.int64)))
+
+    class AttachIdf:
+        """Sorted-hash df lookup loaded once per actor."""
+
+        def __init__(self):
+            self.h, self.df = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                empty = batch.append_column("df", pa.array([], pa.int64()))
+                return empty.append_column("tfidf",
+                                           pa.array([], pa.float64()))
+            th = stable_hash64(batch["token"])
+            idx = np.clip(np.searchsorted(self.h, th), 0,
+                          max(0, len(self.h) - 1))
+            dfv = self.df[idx]  # every token is present by construction
+            tf = np.asarray(batch["tf"], dtype=np.float64)
+            out = batch.append_column("df", pa.array(dfv))
+            return out.append_column(
+                "tfidf",
+                pa.array(tf * np.log(n_docs / dfv.astype(np.float64)),
+                         pa.float64()))
+
+    return pairs.map_batches(AttachIdf, batch_format="pyarrow",
+                             concurrency=(1, 8))

@@ -322,3 +322,40 @@ def test_resize_bilinear_physics():
     cb = np.array([[0, 255], [255, 0]], dtype=np.uint8)
     assert resize_bilinear(cb, 1, 1)[0, 0] in (127, 128)
     assert resize_nearest(cb[:, :, None].repeat(3, 2), 1, 1).shape == (1, 1, 3)
+
+
+def test_tfidf_matches_bruteforce_both_paths():
+    import math
+
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.textstats import tfidf
+
+    docs = [
+        (0, "a b a c"),
+        (1, "b b d"),
+        (2, "a  d   d"),   # extra whitespace collapses
+        (3, ""),           # empty doc: no pairs
+    ]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": [t for _, t in docs]})
+    n_docs = len(docs)
+    tf = {}
+    for d, t in docs:
+        for w in t.split():
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    dfc = {}
+    for (d, w) in tf:
+        dfc[w] = dfc.get(w, 0) + 1
+    want = sorted((d, w, c, dfc[w], c * math.log(n_docs / dfc[w]))
+                  for (d, w), c in tf.items())
+
+    for budget in (None, 1):  # broadcast path, then bucket_join fallback
+        out = tfidf(rd.from_arrow(tbl),
+                    max_broadcast_bytes=budget).to_pandas()
+        got = sorted(zip(out["doc_id"], out["token"], out["tf"], out["df"],
+                         out["tfidf"]))
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[:4] == w[:4]
+            assert abs(g[4] - w[4]) < 1e-12
