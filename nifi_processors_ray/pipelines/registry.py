@@ -1995,6 +1995,41 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_running_totals(sf_dir: str):
+    """Per-key running aggregates (stages/windows.running_agg): each
+    event's cumulative spend and 1-based rank within its user's timeline —
+    SUM() OVER + ROW_NUMBER() with the bounded (key, time-bucket) + offset
+    composition, 1h buckets. Values accumulate as exact integer cents
+    (FLOOR(value*100) on identical doubles matches DuckDB bit-for-bit)."""
+    from ..stages.windows import running_agg
+
+    events = _read(sf_dir, "events",
+                   columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value"], dtype=np.float64)
+        return batch.append_column(
+            "value_cents", pa.array(np.floor(v * 100).astype(np.int64)))
+
+    ds = events.map_batches(cents, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = running_agg(ds, key_col="user_id", order_col="ts",
+                      value_cols=["value_cents"], tiebreak_col="event_id",
+                      bucket_seconds=3600)
+    return _round_cols(_to_table(out), {"value": 6})
+
+
+SQL_RUNNING_TOTALS = """
+SELECT event_id, user_id, ts, ROUND(value, 6) AS value, value_cents,
+       SUM(value_cents) OVER w AS value_cents_cumsum,
+       ROW_NUMBER() OVER w AS row_number
+FROM (SELECT event_id, user_id, ts, value,
+             CAST(FLOOR(value * 100) AS BIGINT) AS value_cents FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_top3_orders_per_priority(sf_dir: str):
     """topk_per_group: per-batch top-k combiner -> tiny groupby merge
     (the shuffle ships <= k rows per (group, batch))."""
@@ -2112,6 +2147,7 @@ QUERIES = {
     "asof_prior_view": q_asof_prior_view,
     "range_join_window": q_range_join_window,
     "lag_lead_events": q_lag_lead_events,
+    "running_totals": q_running_totals,
     "tfidf": q_tfidf,
     "top3_orders_per_priority": q_top3_orders_per_priority,
 }
@@ -2167,6 +2203,7 @@ ORACLE_SQL = {
     "asof_prior_view": SQL_ASOF_PRIOR_VIEW,
     "range_join_window": SQL_RANGE_JOIN_WINDOW,
     "lag_lead_events": SQL_LAG_LEAD_EVENTS,
+    "running_totals": SQL_RUNNING_TOTALS,
     "tfidf": SQL_TFIDF,
     "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
     # rows-only (non-SQL-expressible): generate_rows (seeded numpy,

@@ -426,3 +426,62 @@ def test_lag_lead_sparse_buckets_and_singletons():
          == [10.0, 20.0])
     assert np.isnan(out["v_lag"][3]) and np.isnan(out["v_lead"][3])
     assert out["v_lead"].tolist()[4] == 6.0 and np.isnan(out["v_lead"][5])
+
+
+def test_running_agg_matches_pandas_cumsum():
+    import pandas as pd
+    import pytest
+
+    from nifi_processors_ray.stages.windows import running_agg
+
+    rng = np.random.default_rng(7)
+    n = 12000
+    key = rng.integers(0, 30, n)
+    key[:4000] = 1  # hot key spanning many buckets
+    ts = rng.integers(0, 1_000_000, n)
+    val = rng.integers(-5, 100, n).astype(np.int64)
+    fval = rng.random(n) * 10
+    tid = np.arange(n)
+    df = pd.DataFrame({"k": key, "ts": ts, "v": val, "f": fval, "id": tid})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(9)
+    exp = df.sort_values(["k", "ts", "id"]).reset_index(drop=True)
+    exp["v_cumsum"] = exp.groupby("k")["v"].cumsum()
+    exp["f_cumsum"] = exp.groupby("k")["f"].cumsum()
+    exp["row_number"] = exp.groupby("k").cumcount() + 1
+    for bs in (3600, None, 50_000):
+        out = running_agg(ds, key_col="k", order_col="ts",
+                          value_cols=["v", "f"], tiebreak_col="id",
+                          bucket_seconds=bs).to_pandas()
+        got = out.sort_values(["k", "ts", "id"]).reset_index(drop=True)
+        assert len(got) == n
+        assert (got["v_cumsum"].to_numpy()
+                == exp["v_cumsum"].to_numpy()).all(), bs
+        assert np.allclose(got["f_cumsum"].to_numpy(),
+                           exp["f_cumsum"].to_numpy(), rtol=1e-12,
+                           atol=1e-9), bs
+        assert (got["row_number"].to_numpy()
+                == exp["row_number"].to_numpy()).all(), bs
+    # the hot-key guard is loud: one giant bucket > max_group_rows raises
+    with pytest.raises(Exception, match="max_group_rows"):
+        running_agg(ds, key_col="k", order_col="ts", value_cols=["v"],
+                    tiebreak_col="id", bucket_seconds=1_000_000,
+                    max_group_rows=100).to_pandas()
+
+
+def test_running_agg_bounds_per_task_input():
+    """One key owning every row still never concentrates: per-(key,bucket)
+    segments stay under the cap when buckets are sized right."""
+    from nifi_processors_ray.stages.windows import running_agg
+
+    n = 50_000
+    ts = np.arange(n, dtype=np.int64)  # 1 unit apart, one single key
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(np.zeros(n, np.int64)),
+        "ts": pa.array(ts),
+        "v": pa.array(np.ones(n, np.int64))})).repartition(8)
+    out = running_agg(ds, key_col="k", order_col="ts", value_cols=["v"],
+                      bucket_seconds=1000,  # 1000 rows per bucket
+                      max_group_rows=1001).to_pandas()
+    out = out.sort_values("ts").reset_index(drop=True)
+    assert (out["v_cumsum"].to_numpy() == np.arange(1, n + 1)).all()
+    assert (out["row_number"].to_numpy() == np.arange(1, n + 1)).all()
