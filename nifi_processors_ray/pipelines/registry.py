@@ -1659,6 +1659,26 @@ SELECT event_id, event_type, value FROM events WHERE event_id % 20 < 1
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Fixed-quota per-group sampling (stages/records.stratified_sample):
+    20 documents per language, selected by smallest Knuth hash of doc_id —
+    the deterministic stratified data-mix sampler, exact SQL twin via
+    QUALIFY ROW_NUMBER()."""
+    from ..stages.records import stratified_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return _to_table(stratified_sample(docs, group_col="lang",
+                                       id_col="doc_id", n=20))
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, n_chars FROM documents
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY lang
+    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) <= 20
+"""
+
+
 def q_distinct_langs(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -2136,6 +2156,7 @@ QUERIES = {
     "reserialize_rows": q_reserialize_rows,
     "extract_json_field": q_extract_json_field,
     "deterministic_sample": q_deterministic_sample,
+    "stratified_sample": q_stratified_sample,
     "distinct_langs": q_distinct_langs,
     "quarantine_route": q_quarantine_route,
     "ngram_jaccard": q_ngram_jaccard,
@@ -2194,6 +2215,7 @@ ORACLE_SQL = {
     "reserialize_rows": SQL_RESERIALIZE_ROWS,
     "extract_json_field": SQL_EXTRACT_JSON_FIELD,
     "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "distinct_langs": SQL_DISTINCT_LANGS,
     "quarantine_route": SQL_QUARANTINE_ROUTE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

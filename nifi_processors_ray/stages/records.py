@@ -109,3 +109,34 @@ def deterministic_sample(batch: pa.Table, key_col: str, *, modulus: int = 20,
 
     k = np.asarray(pc.cast(batch[key_col], pa.int64()))
     return batch.filter(pa.array((k % modulus) < keep))
+
+
+def stratified_sample(ds, *, group_col: str, id_col: str, n: int,
+                      hash_mult: int = 2654435761, hash_mod: int = 1 << 32):
+    """Deterministic fixed-quota per-group sample: keep the ``n`` rows of
+    each group whose Knuth multiplicative hash of ``id_col`` is smallest —
+    a reproducible stratified sample (per-language / per-source quotas for
+    a training-data mix) with an exact SQL twin::
+
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY group ORDER BY (id * 2654435761) % 4294967296, id
+        ) <= n
+
+    Scale: composed on ``topk_per_group`` — the per-batch combiner keeps
+    <= n rows per (group, batch), so the shuffle never ships a group's full
+    membership; int64 ids up to ~3.4e9 multiply without overflow."""
+    import numpy as np
+
+    from .windows import topk_per_group
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(batch[id_col], pa.int64()))
+        h = (ids * np.int64(hash_mult)) % np.int64(hash_mod)
+        return batch.append_column("_ss_h", pa.array(h))
+
+    tagged = ds.map_batches(add_h, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = topk_per_group(tagged, group_col=group_col, order_col="_ss_h",
+                         k=n, descending=False, tiebreak_col=id_col)
+    return out.map_batches(lambda b: b.drop_columns(["_ss_h"]),
+                           batch_format="pyarrow", zero_copy_batch=True)

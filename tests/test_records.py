@@ -46,3 +46,34 @@ def test_deterministic_sample():
     t = pa.table({"id": pa.array(range(100), pa.int64())})
     out = deterministic_sample(t, "id", modulus=10, keep=2)
     assert out["id"].to_pylist() == [i for i in range(100) if i % 10 < 2]
+
+
+def test_stratified_sample_quota_and_determinism():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.records import stratified_sample
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    grp = rng.choice(["a", "b", "c", "rare"], n, p=[0.5, 0.3, 0.199, 0.001])
+    ids = np.arange(n, dtype=np.int64)
+    rng.shuffle(ids)
+    df = pd.DataFrame({"g": grp, "id": ids})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+    out = stratified_sample(ds, group_col="g", id_col="id", n=10).to_pandas()
+    sizes = out.groupby("g").size()
+    counts = df.groupby("g").size()
+    for g in counts.index:
+        assert sizes.get(g, 0) == min(10, counts[g]), g
+    # exact selection matches the brute-force smallest-hash rule
+    df["h"] = (df["id"] * 2654435761) % (1 << 32)
+    want = (df.sort_values(["g", "h", "id"]).groupby("g").head(10))
+    assert set(map(tuple, out[["g", "id"]].values)) == \
+        set(map(tuple, want[["g", "id"]].values))
+    # deterministic across runs
+    out2 = stratified_sample(ds, group_col="g", id_col="id",
+                             n=10).to_pandas()
+    assert set(out2["id"]) == set(out["id"])
