@@ -1779,7 +1779,7 @@ def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (LSH bucket + exact cosine
     verify). The base table has no near-dups (max pairwise cosine ~0.51 at
     sf0.01), so the query unions in EXACT copies of the first 10 vectors
-    (id + 10_000_000) — the operator must recover exactly those planted
+    (id -> -1 - id) — the operator must recover exactly those planted
     pairs with cosine 1.0, which a SQL oracle can state directly (exact
     copies always share an LSH home bucket, so recall is deterministic;
     perturbed near-dup recall is pinned in pytest instead)."""
@@ -1991,6 +1991,33 @@ FROM tf JOIN df USING (token) CROSS JOIN n
 """
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Corpus-LM quality score (stages/textstats.unigram_logprob): per-doc
+    mean token log-probability under the corpus' own unigram distribution
+    — the perplexity-filter shape for training-data quality gating.
+    Int-encoded at 1e4 so Ray/DuckDB summation-order tails cannot break
+    hash equality."""
+    from ..stages.textstats import unigram_logprob
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = unigram_logprob(docs)
+    return _int_encode(_to_table(out), {"unigram_logprob": 4})
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),
+freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM freq)
+SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(ROUND((SUM(LN(CAST(f.n AS DOUBLE))) / COUNT(*) - LN(tot.t))
+                  * 10000) AS BIGINT) AS unigram_logprob
+FROM tok k JOIN freq f USING (token) CROSS JOIN tot
+GROUP BY k.doc_id, tot.t
+"""
+
+
 def q_lag_lead_events(sf_dir: str):
     """Per-key ordered LAG/LEAD (stages/windows.lag_lead): each event's
     previous and next value within its user's timeline — the bounded
@@ -2170,6 +2197,7 @@ QUERIES = {
     "lag_lead_events": q_lag_lead_events,
     "running_totals": q_running_totals,
     "tfidf": q_tfidf,
+    "unigram_logprob": q_unigram_logprob,
     "top3_orders_per_priority": q_top3_orders_per_priority,
 }
 
@@ -2227,6 +2255,7 @@ ORACLE_SQL = {
     "lag_lead_events": SQL_LAG_LEAD_EVENTS,
     "running_totals": SQL_RUNNING_TOTALS,
     "tfidf": SQL_TFIDF,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
     # rows-only (non-SQL-expressible): generate_rows (seeded numpy,
     # pinned-hash pytest instead), fingerprints (SipHash),

@@ -265,6 +265,129 @@ def token_frequencies(ds, *, text_col: str = "text", top_k: int | None = None):
     return freq
 
 
+def doc_token_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Tokenize the corpus ONCE into distinct ``(id, token, tf)`` rows —
+    the shared explode under tf-idf / unigram LM scoring / inverted-index
+    builds. Each document is a single input row, so one ``map_batches``
+    call sees a document whole and the per-batch pyarrow ``group_by``
+    yields globally distinct (doc, token) pairs (no cross-batch merge
+    needed). Materialized so multi-consumer pipelines tokenize once."""
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(text.fill_null("")), r"\s+")
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts).astype(np.int64)
+        rows = np.repeat(np.arange(len(counts)), counts)
+        t = pa.table({id_col: pc.take(batch[id_col], pa.array(rows)),
+                      "token": flat})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        g = t.group_by([id_col, "token"]).aggregate([("token", "count")])
+        return pa.table({id_col: g[id_col], "token": g["token"],
+                         "tf": pc.cast(g["token_count"], pa.int64())})
+
+    return ds.map_batches(doc_tokens, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+
+def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    max_broadcast_bytes: int | None = None):
+    """Corpus-LM quality score (the KenLM-perplexity-filter shape on a
+    unigram model): per document, the mean log-probability of its tokens
+    under the corpus' own unigram distribution,
+    ``mean_t ln(count(t) / total_tokens)`` — low scores flag gibberish /
+    boilerplate for a training-data quality gate.
+
+    Scale shape: one tokenize pass (``doc_token_pairs`` combiner keeps the
+    shuffle at distinct tokens per batch), vocabulary-sized frequency
+    table broadcast as a sorted ``(hash64(token) -> ln n)`` array under the
+    byte budget (``bucket_join`` fallback past it), and a final narrow
+    groupby of ``(id, Σ tf·ln n, Σ tf)`` — 3 fixed-width values per
+    distinct pair, never the corpus text."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_hash64
+    from .joins import DEFAULT_BROADCAST_BUDGET, bucket_join
+
+    budget = (max_broadcast_bytes if max_broadcast_bytes is not None
+              else DEFAULT_BROADCAST_BUDGET)
+
+    pairs = doc_token_pairs(ds, id_col=id_col, text_col=text_col)
+    freq = (pairs.select_columns(["token", "tf"])
+            .groupby("token").aggregate(Sum("tf", alias_name="n")))
+
+    def attach_w(batch: pa.Table, ln_n: np.ndarray) -> pa.Table:
+        tf = np.asarray(batch["tf"], dtype=np.float64)
+        return pa.table({
+            id_col: batch[id_col],
+            "lp": pa.array(tf * ln_n, pa.float64()),
+            "tf": batch["tf"],
+        })
+
+    if freq.size_bytes() is None or freq.size_bytes() > budget:
+        j = bucket_join(pairs, freq, left_on="token", right_on="token")
+        total = float(freq.sum("n"))
+        weighted = j.map_batches(
+            lambda b: attach_w(b, np.log(np.asarray(b["n"], np.float64))),
+            batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        f_tabs = [t for t in ray.get(freq.to_arrow_refs()) if t.num_rows]
+        if f_tabs:
+            f_tab = pa.concat_tables(f_tabs, promote_options="default")
+            h = stable_hash64(f_tab["token"])
+            order = np.argsort(h)
+            n_arr = np.asarray(f_tab["n"], np.float64)
+            total = float(n_arr.sum())
+            ref = ray.put((h[order], np.log(n_arr[order])))
+        else:
+            total = 1.0
+            ref = ray.put((np.empty(0, np.uint64), np.empty(0, np.float64)))
+
+        class AttachLp:
+            """Sorted-hash ln(count) lookup loaded once per actor."""
+
+            def __init__(self):
+                self.h, self.ln_n = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    return pa.table({id_col: batch[id_col],
+                                     "lp": pa.array([], pa.float64()),
+                                     "tf": batch["tf"]})
+                th = stable_hash64(batch["token"])
+                idx = np.clip(np.searchsorted(self.h, th), 0,
+                              max(0, len(self.h) - 1))
+                # every token is present by construction (vocab built from
+                # the same corpus) — no OOV path
+                return attach_w(batch, self.ln_n[idx])
+
+        weighted = pairs.map_batches(AttachLp, batch_format="pyarrow",
+                                     zero_copy_batch=True,
+                                     concurrency=(1, 8))
+
+    agg = (weighted.groupby(id_col)
+           .aggregate(Sum("lp", alias_name="lp_sum"),
+                      Sum("tf", alias_name="n_tok")))
+    ln_total = float(np.log(total))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lp = np.asarray(batch["lp_sum"], np.float64)
+        n = np.asarray(batch["n_tok"], np.float64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tok": batch["n_tok"],
+            "unigram_logprob": pa.array(lp / n - ln_total, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def tfidf(ds, *, id_col: str = "doc_id", text_col: str = "text",
           max_broadcast_bytes: int | None = None):
     """Corpus TF-IDF: one row per distinct (doc, token) pair with
@@ -287,27 +410,9 @@ def tfidf(ds, *, id_col: str = "doc_id", text_col: str = "text",
     budget = (max_broadcast_bytes if max_broadcast_bytes is not None
               else DEFAULT_BROADCAST_BUDGET)
 
-    def doc_tokens(batch: pa.Table) -> pa.Table:
-        text = batch[text_col]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(text.fill_null("")), r"\s+")
-        flat = pc.list_flatten(toks)
-        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        counts = np.nan_to_num(counts).astype(np.int64)
-        rows = np.repeat(np.arange(len(counts)), counts)
-        t = pa.table({id_col: pc.take(batch[id_col], pa.array(rows)),
-                      "token": flat})
-        t = t.filter(pc.not_equal(t["token"], ""))
-        g = t.group_by([id_col, "token"]).aggregate([("token", "count")])
-        return pa.table({id_col: g[id_col], "token": g["token"],
-                         "tf": pc.cast(g["token_count"], pa.int64())})
-
     # each document is one input row, so per-batch (doc, token) pairs are
     # globally distinct — df is a plain count of pairs per token
-    pairs = ds.map_batches(doc_tokens, batch_format="pyarrow",
-                           zero_copy_batch=True).materialize()
+    pairs = doc_token_pairs(ds, id_col=id_col, text_col=text_col)
     n_docs = float(ds.count())
 
     def df_partial(batch: pa.Table) -> pa.Table:

@@ -359,3 +359,41 @@ def test_tfidf_matches_bruteforce_both_paths():
         for g, w in zip(got, want):
             assert g[:4] == w[:4]
             assert abs(g[4] - w[4]) < 1e-12
+
+
+def test_unigram_logprob_matches_bruteforce_both_paths():
+    import math
+
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.textstats import unigram_logprob
+
+    docs = [
+        (0, "a b a c"),
+        (1, "b b d"),
+        (2, "a  d   d"),
+        (3, ""),           # empty doc: dropped (no tokens)
+    ]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs])})
+    freq = {}
+    for _, t in docs:
+        for w in t.split():
+            freq[w] = freq.get(w, 0) + 1
+    total = sum(freq.values())
+    want = {}
+    for d, t in docs:
+        toks = t.split()
+        if toks:
+            want[d] = (sum(math.log(freq[w] / total) for w in toks)
+                       / len(toks), len(toks))
+
+    for budget in (None, 1):  # broadcast path, then bucket_join fallback
+        out = unigram_logprob(rd.from_arrow(tbl),
+                              max_broadcast_bytes=budget).to_pandas()
+        got = {int(r.doc_id): (r.unigram_logprob, int(r.n_tok))
+               for r in out.itertuples()}
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d][1] == want[d][1]
+            assert abs(got[d][0] - want[d][0]) < 1e-12, d
