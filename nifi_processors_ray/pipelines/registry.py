@@ -1179,6 +1179,32 @@ FROM documents
 """
 
 
+def q_chunk_text(sf_dir: str):
+    """Context-window chunking (stages/textclean.chunk_text): 500-char
+    windows overlapping by 50 — the pre-tokenization/RAG chunking explode,
+    vectorized per chunk ordinal."""
+    from ..stages.textclean import chunk_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        lambda b: chunk_text(b, size=500, overlap=50),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return _to_table(out)
+
+
+SQL_CHUNK_TEXT = """
+WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS text,
+         unnest(range(GREATEST(
+             CAST(CEIL(length(COALESCE(text, '')) / 450.0) AS BIGINT),
+             1))) AS chunk_id
+  FROM documents)
+SELECT doc_id, chunk_id,
+       substring(text, CAST(chunk_id * 450 + 1 AS INT), 500) AS chunk
+FROM d
+"""
+
+
 def q_strip_markup(sf_dir: str):
     """Web-corpus text extraction: documents wrapped in deterministic
     HTML (tags + script body + entities) then stripped back to plain text
@@ -2165,6 +2191,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "pii_scrub": q_pii_scrub,
     "strip_markup": q_strip_markup,
+    "chunk_text": q_chunk_text,
     "blocklist_filter": q_blocklist_filter,
     "corpus_pipeline": q_corpus_pipeline,
     "decontaminate": q_decontaminate,
@@ -2236,6 +2263,7 @@ ORACLE_SQL = {
     "normalize_text": SQL_NORMALIZE_TEXT,
     "pii_scrub": SQL_PII_SCRUB,
     "strip_markup": SQL_STRIP_MARKUP,
+    "chunk_text": SQL_CHUNK_TEXT,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "decontaminate": SQL_DECONTAMINATE,

@@ -9,6 +9,7 @@ exact SQL twin in the registry (full value-hash oracles).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -68,6 +69,47 @@ def scrub_pii(batch: pa.Table, *, text_col: str = "text",
     for pat, repl in (patterns if patterns is not None else PII_PATTERNS):
         col = pc.replace_substring_regex(col, pat, repl)
     return batch.append_column(out_col, col)
+
+
+def chunk_text(batch: pa.Table, *, id_col: str = "doc_id",
+               text_col: str = "text", size: int = 500,
+               overlap: int = 0) -> pa.Table:
+    """Split each document into fixed-width overlapping character windows
+    — the context-window chunking step that precedes tokenization /
+    embedding in a training or RAG pipeline. Chunk ``j`` covers codepoints
+    ``[j*stride, j*stride + size)`` with ``stride = size - overlap``; a doc
+    of ``L`` chars yields ``max(1, ceil(L / stride))`` chunks (empty docs
+    yield one empty chunk, so no row silently disappears).
+
+    Scale shape: a per-batch explode vectorized per chunk ORDINAL — the
+    Python loop runs ``max chunks per doc in the batch`` times (bounded by
+    longest-doc/stride, not rows), each iteration a zero-copy ``take`` +
+    one ``utf8_slice_codeunits`` kernel. Codepoint slicing matches SQL
+    ``substring`` semantics exactly, so the registry twin is a full
+    value-hash oracle."""
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = text.fill_null("")
+    lens = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = np.maximum((lens + stride - 1) // stride, 1)
+    ids = batch[id_col]
+    parts = []
+    for j in range(int(n.max()) if len(n) else 0):
+        idx = pa.array(np.nonzero(n > j)[0])
+        parts.append(pa.table({
+            id_col: pc.take(ids, idx),
+            "chunk_id": pa.array(np.full(len(idx), j, np.int64)),
+            "chunk": pc.utf8_slice_codeunits(
+                pc.take(text, idx), start=j * stride, stop=j * stride + size),
+        }))
+    if not parts:
+        return pa.table({id_col: ids, "chunk_id": pa.array([], pa.int64()),
+                         "chunk": pa.array([], pa.string())})
+    return pa.concat_tables(parts)
 
 
 # markup stripping (web-corpus text extraction): order matters — script/

@@ -397,3 +397,34 @@ def test_unigram_logprob_matches_bruteforce_both_paths():
         for d in want:
             assert got[d][1] == want[d][1]
             assert abs(got[d][0] - want[d][0]) < 1e-12, d
+
+
+def test_chunk_text_windows_and_edges():
+    import pytest
+
+    from nifi_processors_ray.stages.textclean import chunk_text
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["abcdefghij", "", None, "héllo wörld!"]),
+    })
+    out = chunk_text(t, size=4, overlap=1)  # stride 3
+    rows = sorted(zip(out["doc_id"].to_pylist(), out["chunk_id"].to_pylist(),
+                      out["chunk"].to_pylist()))
+    # doc 0: len 10, stride 3 -> ceil(10/3)=4 chunks at 0,3,6,9
+    assert [(c, s) for d, c, s in rows if d == 0] == \
+        [(0, "abcd"), (1, "defg"), (2, "ghij"), (3, "j")]
+    # consecutive chunks overlap by exactly `overlap` chars
+    assert rows[1][2][:1] == rows[0][2][-1:]
+    # empty and null docs each yield one empty chunk (no silent row loss)
+    assert [(c, s) for d, c, s in rows if d == 1] == [(0, "")]
+    assert [(c, s) for d, c, s in rows if d == 2] == [(0, "")]
+    # non-ASCII: codepoint windows, never split bytes
+    assert [(c, s) for d, c, s in rows if d == 3] == \
+        [(0, "héll"), (1, "lo w"), (2, "wörl"), (3, "ld!")]
+    # reconstruction: stripping the overlap from chunk j>0 and concatenating
+    # rebuilds the document
+    doc0 = rows[0][2] + "".join(s[1:] for _, c, s in rows[1:4])
+    assert doc0 == "abcdefghij"
+    with pytest.raises(ValueError):
+        chunk_text(t, size=4, overlap=4)
