@@ -2017,6 +2017,30 @@ FROM tf JOIN df USING (token) CROSS JOIN n
 """
 
 
+def q_inverted_index(sf_dir: str):
+    """Search-index build (stages/textstats.inverted_index): per token the
+    ascending comma-joined doc-id postings, capped at the 64 lowest ids
+    (the deterministic skew bound a hot token needs at scale)."""
+    from ..stages.textstats import inverted_index
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _to_table(inverted_index(docs, max_postings=64))
+
+
+SQL_INVERTED_INDEX = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents),
+pairs AS (SELECT DISTINCT token, doc_id FROM tok),
+capped AS (
+  SELECT token, doc_id FROM pairs
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) <= 64)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_postings,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM capped GROUP BY token
+"""
+
+
 def q_unigram_logprob(sf_dir: str):
     """Corpus-LM quality score (stages/textstats.unigram_logprob): per-doc
     mean token log-probability under the corpus' own unigram distribution
@@ -2225,6 +2249,7 @@ QUERIES = {
     "running_totals": q_running_totals,
     "tfidf": q_tfidf,
     "unigram_logprob": q_unigram_logprob,
+    "inverted_index": q_inverted_index,
     "top3_orders_per_priority": q_top3_orders_per_priority,
 }
 
@@ -2284,6 +2309,7 @@ ORACLE_SQL = {
     "running_totals": SQL_RUNNING_TOTALS,
     "tfidf": SQL_TFIDF,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "inverted_index": SQL_INVERTED_INDEX,
     "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
     # rows-only (non-SQL-expressible): generate_rows (seeded numpy,
     # pinned-hash pytest instead), fingerprints (SipHash),

@@ -388,6 +388,68 @@ def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
                            zero_copy_batch=True)
 
 
+def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                   max_postings: int = 1024):
+    """Corpus inverted index: one row per token with ``n_postings`` and
+    ``postings`` — the doc ids containing the token, ascending,
+    comma-joined (the search-index build step). Postings per token are
+    capped at ``max_postings`` LOWEST doc ids (deterministic truncation —
+    the SQL twin states it as ``QUALIFY ROW_NUMBER() <= cap``); exact
+    per-token document frequency is ``tfidf``'s ``df`` if needed uncapped.
+
+    Scale shape: the ``doc_token_pairs`` explode dedups (doc, token) per
+    batch; a per-batch combiner then keeps <= cap ids per (token, batch),
+    so a stop-word's shuffle fan-in is cap x batches, never the corpus;
+    the final per-hash-partition pass is one sort + segmented
+    ``binary_join`` (no per-token Python). Without a cap an inverted index
+    is inherently unbounded on hot tokens — the cap IS the skew bound."""
+    from .windows import _key_partition, _seg_change
+
+    if max_postings < 1:
+        raise ValueError("max_postings must be >= 1")
+
+    pairs = doc_token_pairs(ds, id_col=id_col, text_col=text_col) \
+        .select_columns(["token", id_col])
+
+    def keep_lowest(batch: pa.Table) -> pa.Table:
+        t = batch.take(pc.sort_indices(
+            batch, sort_keys=[("token", "ascending"), (id_col, "ascending")]))
+        n = t.num_rows
+        first = _seg_change(t, ["token"])
+        starts = np.flatnonzero(first)
+        rank = np.arange(n) - np.repeat(starts, np.diff(
+            np.concatenate([starts, [n]])))
+        return t.filter(pa.array(rank < max_postings))
+
+    def build(g: pa.Table) -> pa.Table:
+        t = keep_lowest(g)
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n_postings": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        first = _seg_change(t, ["token"])
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, n))
+        ids_str = pc.cast(t[id_col], pa.string())
+        if isinstance(ids_str, pa.ChunkedArray):
+            ids_str = ids_str.combine_chunks()
+        la = pa.LargeListArray.from_arrays(
+            pa.array(np.append(starts, n), pa.int64()), ids_str)
+        return pa.table({
+            "token": pc.take(t["token"], pa.array(starts)),
+            "n_postings": pa.array(sizes.astype(np.int64)),
+            "postings": pc.binary_join(la, ","),
+        })
+
+    partials = pairs.map_batches(keep_lowest, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return (_key_partition(partials, "token")
+            .groupby("_kp")
+            .map_groups(lambda g: build(g.drop_columns(["_kp"])),
+                        batch_format="pyarrow"))
+
+
 def tfidf(ds, *, id_col: str = "doc_id", text_col: str = "text",
           max_broadcast_bytes: int | None = None):
     """Corpus TF-IDF: one row per distinct (doc, token) pair with

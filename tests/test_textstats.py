@@ -428,3 +428,29 @@ def test_chunk_text_windows_and_edges():
     assert doc0 == "abcdefghij"
     with pytest.raises(ValueError):
         chunk_text(t, size=4, overlap=4)
+
+
+def test_inverted_index_matches_bruteforce_with_cap():
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.textstats import inverted_index
+
+    docs = [(i, ("common " + f"tok{i % 7} " + ("dup " if i % 2 else ""))
+             * 2) for i in range(40)]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs])})
+    want = {}
+    for d, t in docs:
+        for w in set(t.split()):
+            want.setdefault(w, []).append(d)
+    cap = 8
+    want = {w: sorted(ids)[:cap] for w, ids in want.items()}
+
+    ds = rd.from_arrow(tbl).repartition(5)
+    out = inverted_index(ds, id_col="doc_id", text_col="text",
+                         max_postings=cap).to_pandas()
+    got = {r.token: (int(r.n_postings), r.postings)
+           for r in out.itertuples()}
+    assert set(got) == set(want)
+    for w, ids in want.items():
+        assert got[w] == (len(ids), ",".join(str(i) for i in ids)), w
