@@ -1929,7 +1929,11 @@ def q_asof_prior_view(sf_dir: str):
         lambda b: b.filter(pc.equal(b["event_type"], "view"))
                    .select(["user_id", "ts", "value"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    out = asof_join(left, right, on="ts", by="user_id", value_cols=["value"])
+    # a week per bucket: ~1500 users x 30 days of events means hour-sized
+    # buckets would make nearly every row its own (key, bucket) — the bound
+    # should be chosen so a key's rows per bucket stay chunky but task-sized
+    out = asof_join(left, right, on="ts", by="user_id", value_cols=["value"],
+                    bucket_seconds=7 * 86400)
     return out.map_batches(
         lambda b: b.rename_columns(
             ["prior_view_value" if c == "value" else c for c in b.column_names]),
@@ -1980,13 +1984,24 @@ def q_range_join_window(sf_dir: str):
 
     right = days.map_batches(mk_iv, batch_format="pyarrow",
                              zero_copy_batch=True)
-    return range_join(left, right, on="ts", by="user_id", start_col="lo",
-                      end_col="hi", value_cols=["window_day"])
+    out = range_join(left, right, on="ts", by="user_id", start_col="lo",
+                     end_col="hi", value_cols=["window_day"])
+
+    # comparison surface: epoch-us int64 with -1 for "no covering window"
+    # (a nullable datetime column compares as NaT != NaT under numpy)
+    def enc(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["window_day"], pa.int64()).fill_null(-1)
+        return batch.drop_columns(["window_day"]).append_column(
+            "window_day_us", us)
+
+    return out.map_batches(enc, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 SQL_RANGE_JOIN_WINDOW = """
 WITH iv AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
-SELECT e.event_id, e.user_id, e.ts, iv.d AS window_day
+SELECT e.event_id, e.user_id, e.ts,
+       COALESCE(CAST(epoch_us(iv.d) AS BIGINT), -1) AS window_day_us
 FROM events e LEFT JOIN iv
   ON e.user_id = iv.user_id
  AND e.ts >= iv.d + INTERVAL 2 HOUR
@@ -2181,6 +2196,62 @@ FROM read_csv('/root/reference/allCountries_100.txt', delim='\t',
 # registry
 # ---------------------------------------------------------------------------
 
+def q_rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP (stages/olap.rollup_agg): lineitem quantity at
+    (returnflag, linestatus), (returnflag), and grand-total levels with the
+    standard GROUPING() bitmask — one corpus shuffle at the finest level,
+    coarser levels folded from the materialized fine aggregate."""
+    from ..stages.olap import rollup_agg
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    out = rollup_agg(li, group_cols=["l_returnflag", "l_linestatus"],
+                     value_col="l_quantity")
+    return _int_encode(_to_table(out), {"sum_l_quantity": 2})
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_l_quantity,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_orders(sf_dir: str):
+    """Crosstab (stages/olap.pivot_agg): total order value per priority,
+    one column per order status — the per-batch combiner ships the
+    crosstab shape through the single shuffle, never the raw orders."""
+    from ..stages.olap import pivot_agg
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_orderstatus",
+                            "o_totalprice"])
+    out = pivot_agg(orders, row_col="o_orderpriority",
+                    pivot_col="o_orderstatus", value_col="o_totalprice",
+                    pivot_values=["O", "F", "P"])
+    return _int_encode(_to_table(out), {"sum_o_totalprice_O": 2,
+                                        "sum_o_totalprice_F": 2,
+                                        "sum_o_totalprice_P": 2})
+
+
+SQL_PIVOT_ORDERS = """
+SELECT o_orderpriority,
+       CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
+                           ELSE 0 END) * 100) AS BIGINT)
+           AS sum_o_totalprice_O,
+       CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                           ELSE 0 END) * 100) AS BIGINT)
+           AS sum_o_totalprice_F,
+       CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice
+                           ELSE 0 END) * 100) AS BIGINT)
+           AS sum_o_totalprice_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "split_fields": q_split_fields,
     "render_template": q_render_template,
@@ -2250,6 +2321,8 @@ QUERIES = {
     "tfidf": q_tfidf,
     "unigram_logprob": q_unigram_logprob,
     "inverted_index": q_inverted_index,
+    "rollup_lineitem": q_rollup_lineitem,
+    "pivot_orders": q_pivot_orders,
     "top3_orders_per_priority": q_top3_orders_per_priority,
 }
 
@@ -2310,6 +2383,8 @@ ORACLE_SQL = {
     "tfidf": SQL_TFIDF,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "inverted_index": SQL_INVERTED_INDEX,
+    "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+    "pivot_orders": SQL_PIVOT_ORDERS,
     "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
     # rows-only (non-SQL-expressible): generate_rows (seeded numpy,
     # pinned-hash pytest instead), fingerprints (SipHash),
