@@ -2093,7 +2093,7 @@ def q_lag_lead_events(sf_dir: str):
                    columns=["event_id", "user_id", "ts", "value"])
     out = lag_lead(events, key_col="user_id", order_col="ts",
                    value_cols=["value"], tiebreak_col="event_id",
-                   bucket_seconds=3600)
+                   bucket_seconds=7 * 86400)
     return _round_cols(_to_table(out), {"value_lag": 6, "value_lead": 6,
                                         "value": 6})
 
@@ -2127,7 +2127,7 @@ def q_running_totals(sf_dir: str):
                             zero_copy_batch=True)
     out = running_agg(ds, key_col="user_id", order_col="ts",
                       value_cols=["value_cents"], tiebreak_col="event_id",
-                      bucket_seconds=3600)
+                      bucket_seconds=7 * 86400)
     return _round_cols(_to_table(out), {"value": 6})
 
 

@@ -651,7 +651,8 @@ def lag_lead(ds, *, key_col: str, order_col: str, value_cols: list[str],
              tiebreak_col: str | None = None,
              lag_suffix: str = "_lag", lead_suffix: str = "_lead",
              bucket_seconds: float | None = 3600,
-             max_group_rows: int | None = None):
+             max_group_rows: int | None = None,
+             carry_broadcast_bytes: int = 64 << 20):
     """SQL ``LAG(col, 1)`` / ``LEAD(col, 1)`` over
     ``PARTITION BY key ORDER BY order_col[, tiebreak_col]``: attach each
     row its per-key predecessor's and successor's ``value_cols`` (null at
@@ -709,7 +710,6 @@ def lag_lead(ds, *, key_col: str, order_col: str, value_cols: list[str],
         sort_keys = ([(key_col, "ascending"), ("_tsb", "ascending")]
                      + [(c, "ascending") for c in order_cols])
         t = g.take(pc.sort_indices(g, sort_keys=sort_keys))
-        t = t.drop_columns(["_kp"])
         n = t.num_rows
         if n == 0:
             empty = t.append_column(side_col, pa.array([], pa.int8()))
@@ -789,12 +789,33 @@ def lag_lead(ds, *, key_col: str, order_col: str, value_cols: list[str],
     if single_shuffle:
         return tagged.groupby("_wp").map_groups(merge,
                                                 batch_format="pyarrow")
+    import ray
+    import ray.data as rd
+
+    # tagged feeds both the boundary summaries and the final exchange —
+    # materialize once instead of executing the tag lineage twice
+    tagged = tagged.materialize()
     boundaries = tagged.map_batches(boundary_partial,
                                     batch_format="pyarrow",
-                                    zero_copy_batch=True)
-    carries_narrow = (_key_partition(boundaries, key_col)
-                      .groupby("_kp")
-                      .map_groups(make_carries, batch_format="pyarrow"))
+                                    zero_copy_batch=True).materialize()
+    size = boundaries.size_bytes()
+    if size is not None and size <= carry_broadcast_bytes:
+        # first/last-per-(key,bucket,batch) summaries fit the budget: one
+        # driver-side kernel pass replaces a full sort shuffle and the
+        # carries enter the final exchange as a single dense block
+        tabs = [t for t in ray.get(boundaries.to_arrow_refs())
+                if t.num_rows]
+        if tabs:
+            carries_narrow = rd.from_arrow(make_carries(
+                pa.concat_tables(tabs, promote_options="default")))
+        else:
+            carries_narrow = boundaries
+    else:
+        carries_narrow = (
+            _key_partition(boundaries, key_col)
+            .groupby("_kp")
+            .map_groups(lambda g: make_carries(g.drop_columns(["_kp"])),
+                        batch_format="pyarrow"))
 
     def widen(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -902,7 +923,8 @@ def running_agg(ds, *, key_col: str, order_col: str, value_cols: list[str],
                 tiebreak_col: str | None = None,
                 cumsum_suffix: str = "_cumsum", rownum_col: str = "row_number",
                 bucket_seconds: float | None = 3600,
-                max_group_rows: int | None = None):
+                max_group_rows: int | None = None,
+                carry_broadcast_bytes: int = 64 << 20):
     """SQL running aggregates: ``SUM(col) OVER (PARTITION BY key ORDER BY
     order_col[, tiebreak] ROWS UNBOUNDED PRECEDING)`` per ``value_cols``
     plus ``ROW_NUMBER()`` — each row annotated with its per-key prefix sums
@@ -978,8 +1000,7 @@ def running_agg(ds, *, key_col: str, order_col: str, value_cols: list[str],
         """Per key partition over totals rows: merge same-(key,bucket)
         partials, then EXCLUSIVE per-key prefix -> each bucket's starting
         sums and count. Input is one row per (key, bucket, batch)."""
-        t = g.drop_columns(["_kp"])
-        t = t.take(pc.sort_indices(t, sort_keys=[(key_col, "ascending"),
+        t = g.take(pc.sort_indices(g, sort_keys=[(key_col, "ascending"),
                                                  ("_tsb", "ascending")]))
         new_key = _seg_change(t, [key_col])
         new_b = new_key | _seg_change(t, ["_tsb"])
@@ -1074,11 +1095,29 @@ def running_agg(ds, *, key_col: str, order_col: str, value_cols: list[str],
     if single_shuffle:
         return tagged.groupby("_wp").map_groups(merge,
                                                 batch_format="pyarrow")
-    offsets_narrow = (_key_partition(
-        tagged.map_batches(totals_partial, batch_format="pyarrow",
-                           zero_copy_batch=True), key_col)
-        .groupby("_kp")
-        .map_groups(make_offsets, batch_format="pyarrow"))
+    import ray
+    import ray.data as rd
+
+    # tagged feeds both the totals pass and the final exchange —
+    # materialize once instead of executing the tag lineage twice
+    tagged = tagged.materialize()
+    totals = tagged.map_batches(totals_partial, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    size = totals.size_bytes()
+    if size is not None and size <= carry_broadcast_bytes:
+        # per-(key,bucket,batch) totals fit the budget: one driver-side
+        # kernel pass replaces a full sort shuffle, and the offset rows
+        # enter the final exchange as a single dense block
+        tabs = [t for t in ray.get(totals.to_arrow_refs()) if t.num_rows]
+        tbl = (pa.concat_tables(tabs, promote_options="default") if tabs
+               else totals.schema().base_schema.empty_table())
+        offsets_narrow = rd.from_arrow(make_offsets(tbl))
+    else:
+        offsets_narrow = (
+            _key_partition(totals, key_col)
+            .groupby("_kp")
+            .map_groups(lambda g: make_offsets(g.drop_columns(["_kp"])),
+                        batch_format="pyarrow"))
 
     def widen(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
