@@ -86,7 +86,7 @@ def grouped_quantiles_sketch(ds, *, group_col: str, value_col: str,
     (one from in-bin interpolation, one more when the mass rank straddles
     a bin boundary).
     """
-    from ray.data.aggregate import Max, Min, Sum
+    from ray.data.aggregate import Max, Min
 
     qs = tuple(qs)
     names = _q_cols(qs)
@@ -117,20 +117,26 @@ def grouped_quantiles_sketch(ds, *, group_col: str, value_col: str,
             "_n": pa.array(counts[nz], pa.int64()),
         })
 
-    hist = (ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby([group_col, "_bin"])
-            .aggregate(Sum("_n", alias_name="_n")))
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
     def finalize(g: pa.Table) -> pa.Table:
+        # the per-(group, bin, batch) partials land here directly (no
+        # intermediate groupby shuffle): fold duplicate (group, bin) rows
+        # with one segmented reduceat, then take quantiles per group
         order = pc.sort_indices(g, sort_keys=[(group_col, "ascending"),
                                               ("_bin", "ascending")])
         t = g.take(order)
-        new = _seg_change(t, [group_col])
-        bins = np.asarray(t["_bin"])
-        ns = np.asarray(t["_n"], dtype=np.float64)
+        gb_new = _seg_change(t, [group_col, "_bin"])
+        gb_starts = np.flatnonzero(gb_new)
+        bins = np.asarray(t["_bin"])[gb_starts]
+        ns = (np.add.reduceat(np.asarray(t["_n"], dtype=np.float64),
+                              gb_starts)
+              if len(gb_starts) else np.empty(0))
+        new = _seg_change(t, [group_col])[gb_starts]
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], len(bins))
+        t = t.take(pa.array(gb_starts))
         cols = {group_col: t[group_col].take(pa.array(starts))}
         res = {nm: np.empty(len(starts)) for nm in names}
         edges = vmin + (np.arange(n_bins + 1) / n_bins) * span
