@@ -485,3 +485,48 @@ def test_running_agg_bounds_per_task_input():
     out = out.sort_values("ts").reset_index(drop=True)
     assert (out["v_cumsum"].to_numpy() == np.arange(1, n + 1)).all()
     assert (out["row_number"].to_numpy() == np.arange(1, n + 1)).all()
+
+
+def test_distributed_carry_fallback_matches_broadcast_fast_path():
+    """carry_broadcast_bytes=1 forces the at-scale distributed key-partition
+    carry path; its results must be identical to the driver-side broadcast
+    fast path on data with real cross-bucket dependencies."""
+    rng = np.random.default_rng(7)
+    n = 4000
+    keys = rng.integers(0, 23, n)
+    ts = rng.integers(0, 100_000, n)
+    tbl = pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "t": pa.array(np.arange(n) * 100_000 + ts, pa.int64()),
+        "v": pa.array(rng.random(n)),
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(7)
+    right = rd.from_arrow(tbl.select(["k", "t", "v"])).repartition(5)
+
+    def canon(df, cols):
+        return df.sort_values(cols).reset_index(drop=True)
+
+    from nifi_processors_ray.stages.windows import lag_lead, running_agg
+
+    for kwargs in ({}, {"carry_broadcast_bytes": 1}):
+        a = asof_join(ds, right, on="t", by="k", value_cols=["v"],
+                      bucket_seconds=10_000, **kwargs).to_pandas()
+        la = lag_lead(ds, key_col="k", order_col="t", value_cols=["v"],
+                      tiebreak_col="id", bucket_seconds=10_000,
+                      **kwargs).to_pandas()
+        ra = running_agg(ds, key_col="k", order_col="t",
+                         value_cols=["id"], tiebreak_col="id",
+                         bucket_seconds=10_000, **kwargs).to_pandas()
+        if not kwargs:
+            base = (canon(a, ["k", "t", "id"]), canon(la, ["k", "t", "id"]),
+                    canon(ra, ["k", "t", "id"]))
+        else:
+            import pandas as pd
+
+            pd.testing.assert_frame_equal(canon(a, ["k", "t", "id"]),
+                                          base[0], check_like=True)
+            pd.testing.assert_frame_equal(canon(la, ["k", "t", "id"]),
+                                          base[1], check_like=True)
+            pd.testing.assert_frame_equal(canon(ra, ["k", "t", "id"]),
+                                          base[2], check_like=True)
