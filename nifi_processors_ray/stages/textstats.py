@@ -318,8 +318,13 @@ def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
               else DEFAULT_BROADCAST_BUDGET)
 
     pairs = doc_token_pairs(ds, id_col=id_col, text_col=text_col)
+    # materialize the vocabulary-sized aggregate ONCE: the size check and
+    # both branches (broadcast / bucket_join) read it, and total below
+    # sums it — without this the tokenize+groupby lineage executes thrice
     freq = (pairs.select_columns(["token", "tf"])
-            .groupby("token").aggregate(Sum("tf", alias_name="n")))
+            .groupby("token").aggregate(Sum("tf", alias_name="n"))
+            .materialize())
+    freq_bytes = freq.size_bytes()
 
     def attach_w(batch: pa.Table, ln_n: np.ndarray) -> pa.Table:
         tf = np.asarray(batch["tf"], dtype=np.float64)
@@ -329,7 +334,7 @@ def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "tf": batch["tf"],
         })
 
-    if freq.size_bytes() is None or freq.size_bytes() > budget:
+    if freq_bytes is None or freq_bytes > budget:
         j = bucket_join(pairs, freq, left_on="token", right_on="token")
         total = float(freq.sum("n"))
         weighted = j.map_batches(
@@ -474,19 +479,26 @@ def tfidf(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     # each document is one input row, so per-batch (doc, token) pairs are
     # globally distinct — df is a plain count of pairs per token
-    pairs = doc_token_pairs(ds, id_col=id_col, text_col=text_col)
+    # N counts ALL docs (incl. zero-token ones pairs drops) — it cannot
+    # come from the tokenized explode. On a plain parquet read this is a
+    # metadata-only count; counting before tokenizing keeps it that way.
     n_docs = float(ds.count())
+    pairs = doc_token_pairs(ds, id_col=id_col, text_col=text_col)
 
     def df_partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by("token").aggregate([("token", "count")])
         return pa.table({"token": g["token"],
                          "df": pc.cast(g["token_count"], pa.int64())})
 
+    # materialize the vocabulary-sized df table ONCE: the size check and
+    # both branches read it — otherwise the groupby lineage re-executes
     df = (pairs.map_batches(df_partial, batch_format="pyarrow",
                             zero_copy_batch=True)
-          .groupby("token").aggregate(Sum("df", alias_name="df")))
+          .groupby("token").aggregate(Sum("df", alias_name="df"))
+          .materialize())
+    df_bytes = df.size_bytes()
 
-    if df.size_bytes() is None or df.size_bytes() > budget:
+    if df_bytes is None or df_bytes > budget:
         # vocabulary outgrew the broadcast budget: partitioned hash join
         j = bucket_join(pairs, df, left_on="token", right_on="token")
 

@@ -795,6 +795,14 @@ def lag_lead(ds, *, key_col: str, order_col: str, value_cols: list[str],
     # tagged feeds both the boundary summaries and the final exchange —
     # materialize once instead of executing the tag lineage twice
     tagged = tagged.materialize()
+    if tagged.count() == 0:
+        # short-circuit: zero-row inputs still return the full output
+        # schema (an empty groupby would lose it entirely)
+        cols = {name: pa.array([], types[name]) for name in l_schema.names}
+        for c in value_cols:
+            cols[c + lag_suffix] = pa.array([], types[c])
+            cols[c + lead_suffix] = pa.array([], types[c])
+        return rd.from_arrow(pa.table(cols))
     boundaries = tagged.map_batches(boundary_partial,
                                     batch_format="pyarrow",
                                     zero_copy_batch=True).materialize()
@@ -809,7 +817,15 @@ def lag_lead(ds, *, key_col: str, order_col: str, value_cols: list[str],
             carries_narrow = rd.from_arrow(make_carries(
                 pa.concat_tables(tabs, promote_options="default")))
         else:
-            carries_narrow = boundaries
+            # empty carries MUST still carry the full carry schema
+            # (boundary columns + side + _wp) — reusing `boundaries`
+            # (keep + _tsb only) would make widen's select KeyError on
+            # any zero-row (rather than zero-block) materialization
+            cols = {c: pa.array([], types[c]) for c in keep}
+            cols["_tsb"] = pa.array([], pa.int64())
+            cols[side_col] = pa.array([], pa.int8())
+            cols["_wp"] = pa.array([], pa.int64())
+            carries_narrow = rd.from_arrow(pa.table(cols))
     else:
         carries_narrow = (
             _key_partition(boundaries, key_col)
@@ -945,6 +961,9 @@ def running_agg(ds, *, key_col: str, order_col: str, value_cols: list[str],
     Integer value columns accumulate in int64, floats in float64. Sums are
     exact for integers; float totals add per-bucket partials in bucket
     order (same left-to-right order as SQL up to per-batch combining).
+    Null values contribute 0 (SQL's SUM-ignores-NULL); the cumsum column
+    itself is never null — the one divergence from SQL is an all-null
+    prefix, where SQL yields NULL and this yields 0.
     """
     side_col = "_ra_side"  # -1 offset row, 0 real
     l_schema = ds.schema()
@@ -991,7 +1010,10 @@ def running_agg(ds, *, key_col: str, order_col: str, value_cols: list[str],
         cols = {key_col: t[key_col].take(take), "_tsb": t["_tsb"].take(take),
                 "_cnt": pa.array(cnt.astype(np.int64))}
         for c in value_cols:
-            acc = np.asarray(t[c]).astype(
+            # null values contribute 0 (SUM-ignores-NULL running totals);
+            # fill BEFORE asarray — int64-with-nulls converts via float64
+            # NaN and .astype(int64) would turn NaN into garbage
+            acc = np.asarray(pc.fill_null(t[c], 0)).astype(
                 np.float64 if pa.types.is_floating(types[c]) else np.int64)
             cols[off_names[c]] = pa.array(np.add.reduceat(acc, starts))
         return pa.table(cols)
@@ -1061,9 +1083,10 @@ def running_agg(ds, *, key_col: str, order_col: str, value_cols: list[str],
 
         def seg_offset(col_name: str, dtype) -> np.ndarray:
             off = np.zeros(nseg, dtype=dtype)
-            vals = np.asarray(t[col_name])
-            off[seg_id[marker]] = np.nan_to_num(vals[marker]) \
-                if dtype == np.float64 else vals[marker]
+            # real rows carry null in the offset columns — fill before
+            # asarray so the int64 path never round-trips through float64
+            vals = np.asarray(pc.fill_null(t[col_name], 0))
+            off[seg_id[marker]] = vals[marker]
             return off
 
         # row_number: local 1-based index + bucket's starting count
@@ -1076,7 +1099,13 @@ def running_agg(ds, *, key_col: str, order_col: str, value_cols: list[str],
         for c in value_cols:
             np_t = (np.float64 if pa.types.is_floating(types[c])
                     else np.int64)
-            vals = np.asarray(t[c].filter(pa.array(real))).astype(np_t)
+            # SUM() OVER ignores NULLs: null values contribute 0 to the
+            # running sum (the cumsum column itself is never null — the
+            # one documented divergence from SQL's null-until-first-value
+            # edge). fill BEFORE asarray: int64-with-nulls converts via
+            # float64 NaN and .astype(int64) turns NaN into garbage.
+            vals = np.asarray(
+                pc.fill_null(t[c].filter(pa.array(real)), 0)).astype(np_t)
             cs = np.cumsum(vals)
             # subtract each segment's preceding global cumsum
             seg_base = np.repeat(cs[rstarts] - vals[rstarts], np.diff(
@@ -1101,6 +1130,14 @@ def running_agg(ds, *, key_col: str, order_col: str, value_cols: list[str],
     # tagged feeds both the totals pass and the final exchange —
     # materialize once instead of executing the tag lineage twice
     tagged = tagged.materialize()
+    if tagged.count() == 0:
+        # short-circuit: zero-row inputs still return the full output
+        # schema (an empty groupby would lose it entirely)
+        cols = {name: pa.array([], types[name]) for name in l_schema.names}
+        for c in value_cols:
+            cols[c + cumsum_suffix] = pa.array([], _acc_type(types[c]))
+        cols[rownum_col] = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table(cols))
     totals = tagged.map_batches(totals_partial, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
     size = totals.size_bytes()
@@ -1109,8 +1146,17 @@ def running_agg(ds, *, key_col: str, order_col: str, value_cols: list[str],
         # kernel pass replaces a full sort shuffle, and the offset rows
         # enter the final exchange as a single dense block
         tabs = [t for t in ray.get(totals.to_arrow_refs()) if t.num_rows]
-        tbl = (pa.concat_tables(tabs, promote_options="default") if tabs
-               else totals.schema().base_schema.empty_table())
+        if tabs:
+            tbl = pa.concat_tables(tabs, promote_options="default")
+        else:
+            # build the empty totals table from locally known columns —
+            # a fully-empty materialized dataset may have schema() None
+            cols = {key_col: pa.array([], types[key_col]),
+                    "_tsb": pa.array([], pa.int64()),
+                    "_cnt": pa.array([], pa.int64())}
+            for c in value_cols:
+                cols[off_names[c]] = pa.array([], _acc_type(types[c]))
+            tbl = pa.table(cols)
         offsets_narrow = rd.from_arrow(make_offsets(tbl))
     else:
         offsets_narrow = (

@@ -183,24 +183,23 @@ class IncrementalAggView:
             h = np.unique(hash64_columns(slim, keys))
             return pa.table({_KH: pa.array(h.view(np.int64))})
 
-        out: list[np.ndarray] = []
-        total = 0
+        # keep a RUNNING deduped array so the guard measures actual
+        # distinct keys (keys repeating across batches must not trip it)
+        # while driver memory stays bounded by the cap itself
+        uniq = np.empty(0, np.uint64)
         for b in feed.map_batches(partial, batch_format="pyarrow",
                                   zero_copy_batch=True).iter_batches(
                                       batch_format="pyarrow"):
             a = np.ascontiguousarray(
                 b.column(_KH).to_numpy(zero_copy_only=False)).view(np.uint64)
-            total += len(a)
-            if total > self.max_changed_keys:
+            uniq = np.union1d(uniq, a) if len(uniq) else np.unique(a)
+            if len(uniq) > self.max_changed_keys:
                 raise ValueError(
                     f"refresh touches more than {self.max_changed_keys} "
                     "distinct keys — the changed-key broadcast would "
                     "exceed its byte budget. Refresh in smaller epoch "
                     "windows, or raise max_changed_keys.")
-            out.append(a)
-        if not out:
-            return np.empty(0, np.uint64)
-        return np.unique(np.concatenate(out))
+        return uniq
 
     def _delta_path(self, hi: int) -> str:
         return os.path.join(self.root, f"delta-{hi}.parquet")

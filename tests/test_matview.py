@@ -176,3 +176,25 @@ def test_lake_read_pid_pruning(tmp_path):
             [("repo", "ascending"), ("path", "ascending"), ("seq", "ascending")])
         assert got.equals(want)
     assert lake.read(pids=set()).count() == 0
+
+
+def test_matview_guard_counts_distinct_keys_not_batch_sum(tmp_path):
+    """Keys repeating across epochs/batches must NOT trip the guard: the
+    cap measures actual distinct keys (ADVICE r3 — the pre-dedup running
+    sum spuriously rejected refreshes well under the cap)."""
+    lake = _lake(tmp_path)
+    # the same 20 (repo, path) keys rewritten across 4 epochs -> 80 change
+    # rows but only 20 distinct keys
+    for e in range(4):
+        t = pa.table({
+            "repo": ["r"] * 20,
+            "path": [f"p{i}" for i in range(20)],
+            "lang": ["py"] * 20,
+            "seq": pa.array(np.arange(20, dtype=np.int64) + e * 20),
+            "op": ["upsert"] * 20,
+        })
+        lake.apply_epoch(rd.from_arrow(t), e)
+    view = IncrementalAggView(lake, str(tmp_path / "view"), name="v",
+                              group_cols=["lang"], max_changed_keys=25)
+    got = view.refresh()
+    assert got["cnt"].to_pylist() == [20]

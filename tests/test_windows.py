@@ -530,3 +530,55 @@ def test_distributed_carry_fallback_matches_broadcast_fast_path():
                                           base[1], check_like=True)
             pd.testing.assert_frame_equal(canon(ra, ["k", "t", "id"]),
                                           base[2], check_like=True)
+
+
+def test_running_agg_and_lag_lead_empty_input():
+    """Empty datasets flow through both the broadcast fast path and the
+    single-shuffle mode without crashing (ADVICE r3: empty materialized
+    totals/boundaries used to AttributeError / lose carry columns)."""
+    from nifi_processors_ray.stages.windows import lag_lead, running_agg
+
+    empty = pa.table({
+        "k": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.int64()),
+        "v": pa.array([], pa.int64()),
+    })
+    ds = rd.from_arrow(empty)
+    for bs in (3600, None):
+        ra = running_agg(ds, key_col="k", order_col="ts", value_cols=["v"],
+                         bucket_seconds=bs).to_pandas()
+        assert len(ra) == 0
+        ll = lag_lead(ds, key_col="k", order_col="ts", value_cols=["v"],
+                      bucket_seconds=bs).to_pandas()
+        assert len(ll) == 0
+    # the bucketed (materialized) path also preserves the output schema
+    # (Dataset schema — Ray's to_pandas drops columns at zero rows)
+    ra_names = running_agg(ds, key_col="k", order_col="ts",
+                           value_cols=["v"], bucket_seconds=3600).schema().names
+    assert "v_cumsum" in ra_names and "row_number" in ra_names
+    ll_names = lag_lead(ds, key_col="k", order_col="ts", value_cols=["v"],
+                        bucket_seconds=3600).schema().names
+    assert "v_lag" in ll_names and "v_lead" in ll_names
+
+
+def test_running_agg_null_values_sum_ignores_null():
+    """NULL value rows contribute 0 to the running sum (SQL SUM-ignores-
+    NULL); int columns must not round-trip through float64 NaN (ADVICE r3:
+    cumsum used to emit INT64_MIN-ish garbage past a null)."""
+    from nifi_processors_ray.stages.windows import running_agg
+
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([10, 20, 30, 40, 10, 20], pa.int64()),
+        "v": pa.array([10, None, 5, None, None, 7], pa.int64()),
+        "f": pa.array([1.5, None, 2.5, None, None, 0.5], pa.float64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    for bs in (15, None):  # force cross-bucket offsets AND single-shuffle
+        out = running_agg(ds, key_col="k", order_col="ts",
+                          value_cols=["v", "f"],
+                          bucket_seconds=bs).to_pandas()
+        out = out.sort_values(["k", "ts"]).reset_index(drop=True)
+        assert out["v_cumsum"].tolist() == [10, 10, 15, 15, 0, 7]
+        assert out["f_cumsum"].tolist() == [1.5, 1.5, 4.0, 4.0, 0.0, 0.5]
+        assert out["row_number"].tolist() == [1, 2, 3, 4, 1, 2]
