@@ -94,14 +94,17 @@ def bench_cdc(warm: bool = True) -> dict:
     root = f"/tmp/bench_lake_{NUM_CPUS}_{time.time_ns()}"
     lake = LakeTable(root, num_partitions=64)
     t0 = time.time()
-    # several epochs in flight: overlaps one epoch's tail tasks with the
-    # next epochs' reads — correct because LWW makes replay
-    # order-independent (measured: 4 beats 2 by ~6% at 4M events)
+    # two epochs in flight: overlaps one epoch's tail tasks with the next
+    # epoch's reads — correct because LWW makes replay order-independent.
+    # Default is 2, NOT 4: the round-3 judge's interleaved A/B measured
+    # in-flight=4 costing ~20-25% on this host (the "+6%" that motivated 4
+    # was load drift); 4 over-subscribes the object store when epochs are
+    # big relative to memory
     ingest_stream(
         lake,
         [(lambda e=e: rd.read_parquet(os.path.join(STREAM_DIR, f"epoch={e}")))
          for e in range(EPOCHS)],
-        max_in_flight=int(os.environ.get("GRAFT_MAX_IN_FLIGHT", "4")),
+        max_in_flight=int(os.environ.get("GRAFT_MAX_IN_FLIGHT", "2")),
     )
     apply_sec = time.time() - t0
     t1 = time.time()
@@ -267,8 +270,82 @@ def run_scaling():
     }))
 
 
+def run_ab(ref: str):
+    """Interleaved same-host A/B of the headline CDC bench: HEAD vs a git
+    ref (round-3 verdict task #2). Checks the ref out into a /tmp worktree
+    and alternates headline-only runs — ref, HEAD, HEAD, ref, ref, ... —
+    each in a FRESH process, so co-tenant load drift samples both sides
+    equally and "faster than last round" claims are load-proof by
+    construction. Both sides run the same pinned config (GRAFT_MAX_IN_FLIGHT
+    honored by both trees; defaults to this tree's default)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sha = subprocess.run(["git", "-C", repo, "rev-parse", "--short", ref],
+                         capture_output=True, text=True, check=True).stdout.strip()
+    wt = f"/tmp/ab_wt_{sha}"
+    if not os.path.isdir(wt):
+        subprocess.run(["git", "-C", repo, "worktree", "add", "--detach",
+                        wt, sha], check=True, capture_output=True)
+    pairs = int(os.environ.get("GRAFT_AB_PAIRS", "4"))
+    env = dict(os.environ,
+               GRAFT_BENCH_HEADLINE_ONLY="1",
+               GRAFT_BENCH_REPS="1",  # warm pass + 1 timed rep per process
+               GRAFT_MAX_IN_FLIGHT=os.environ.get("GRAFT_MAX_IN_FLIGHT", "2"))
+
+    def run_side(tree: str) -> dict:
+        out = subprocess.run([sys.executable, os.path.join(tree, "bench.py")],
+                             env=env, cwd=tree, capture_output=True,
+                             text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    rows = []
+    for p in range(pairs):
+        # alternate which side goes first each pair to cancel slow
+        # monotonic load drift within a pair
+        order = [("ref", wt), ("head", repo)] if p % 2 == 0 else \
+                [("head", repo), ("ref", wt)]
+        row = {}
+        for side, tree in order:
+            row[side] = run_side(tree)["events_per_sec"]
+        row["head_wins"] = row["head"] >= row["ref"]
+        rows.append(row)
+        print(json.dumps({"pair": p, **row}), file=sys.stderr, flush=True)
+    head_all = [r["head"] for r in rows]
+    ref_all = [r["ref"] for r in rows]
+    # position-matched comparison: this host shows a systematic
+    # second-run-in-a-pair advantage (the first run absorbs transient
+    # memory/load left by the previous pair), so compare each side's runs
+    # at the SAME within-pair position — the order alternation above
+    # guarantees both sides sample both positions equally
+    head_p1 = [r["head"] for i, r in enumerate(rows) if i % 2 == 1]
+    head_p2 = [r["head"] for i, r in enumerate(rows) if i % 2 == 0]
+    ref_p1 = [r["ref"] for i, r in enumerate(rows) if i % 2 == 0]
+    ref_p2 = [r["ref"] for i, r in enumerate(rows) if i % 2 == 1]
+    pos = {}
+    if head_p1 and ref_p1:
+        pos["ratio_first_pos"] = round(max(head_p1) / max(ref_p1), 3)
+    if head_p2 and ref_p2:
+        pos["ratio_second_pos"] = round(max(head_p2) / max(ref_p2), 3)
+    print(json.dumps({
+        "ab_ref": sha,
+        "pairs": rows,
+        "head_eps": head_all,
+        "ref_eps": ref_all,
+        "head_best": max(head_all),
+        "ref_best": max(ref_all),
+        "head_wins": sum(r["head_wins"] for r in rows),
+        "n_pairs": pairs,
+        "max_in_flight": env["GRAFT_MAX_IN_FLIGHT"],
+        "ratio_best": round(max(head_all) / max(ref_all), 3),
+        "ratio_median": round(sorted(head_all)[len(head_all) // 2]
+                              / sorted(ref_all)[len(ref_all) // 2], 3),
+        **pos,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--ab" in sys.argv:
+        run_ab(sys.argv[sys.argv.index("--ab") + 1])
     else:
         print(json.dumps(run_once()))

@@ -214,6 +214,31 @@ FROM documents
 """
 
 
+def q_render_define_stop(sf_dir: str):
+    """O2d closure (round-3 verdict task #4): ``#define`` (late-bound VTL
+    block), ``#break`` (exit innermost #foreach, here at the 3rd range
+    element), and ``#stop`` (halt the template per row — German docs end
+    at the header). All three render through the vectorized halt-mask
+    machinery (stages/render.py); ``#evaluate`` stays loudly rejected."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    stage = RenderTemplateStage(
+        "#define($hdr)$doc_id/$lang#end$hdr"
+        "#foreach($i in [1..5])$i#if($i == 3)#break#end#end"
+        '#if($lang == "de")#stop#end:$source',
+        output_col="content", keep_input_cols=True)
+    return docs.map_batches(stage, batch_format="pyarrow",
+                            zero_copy_batch=True).select_columns(
+        ["doc_id", "content"])
+
+
+SQL_RENDER_DEFINE_STOP = """
+SELECT doc_id,
+       CAST(doc_id AS VARCHAR) || '/' || lang || '123'
+       || CASE WHEN lang = 'de' THEN '' ELSE ':' || source END AS content
+FROM documents
+"""
+
+
 _RULE_SPEC = {
     "groups": [
         {"id": "G1", "subgroups": [
@@ -882,57 +907,75 @@ FROM documents d LEFT JOIN (
 
 
 def q_token_counts(sf_dir: str):
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(
-        lambda b: count_tokens(b, text_col="text").select(["doc_id", "n_tokens"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-
-
-SQL_TOKEN_COUNTS = """
-SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
-       AS n_tokens
-FROM documents
-"""
-
-
-def q_token_counts_bpe(sf_dir: str):
-    """Token counting under the BPE-ish pretokenizer regex (contractions /
-    letter-runs / digit-runs / symbol-runs) — the LLM-flavored sibling of
-    the whitespace count, same RE2 pattern in the DuckDB twin."""
+    """Whitespace token count + BPE-ish pretokenizer count (contractions /
+    letter-runs / digit-runs / symbol-runs) in ONE pass over the text —
+    both RE2 patterns mirrored exactly in the DuckDB twin. (Round-4 merge
+    of the former token_counts / token_counts_bpe pair: one driver row now
+    verifies both kernels.)"""
     from ..stages.textstats import BPEISH_PATTERN
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(
-        lambda b: count_tokens(b, text_col="text", pattern=BPEISH_PATTERN,
-                               out_col="n_bpe_tokens")
-        .select(["doc_id", "n_bpe_tokens"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        ws = count_tokens(batch, text_col="text")
+        bpe = count_tokens(batch, text_col="text", pattern=BPEISH_PATTERN,
+                           out_col="n_bpe_tokens")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": ws["n_tokens"],
+                         "n_bpe_tokens": bpe["n_bpe_tokens"]})
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _sql_token_counts_bpe() -> str:
+def _sql_token_counts() -> str:
     from ..stages.textstats import BPEISH_PATTERN
 
     pat = BPEISH_PATTERN.replace("'", "''")
-    return ("SELECT doc_id, CAST(length(regexp_extract_all(text, '"
-            + pat + "')) AS BIGINT) AS n_bpe_tokens FROM documents")
+    return ("SELECT doc_id, "
+            "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens, "
+            "CAST(length(regexp_extract_all(text, '" + pat + "')) AS BIGINT)"
+            " AS n_bpe_tokens FROM documents")
 
 
-SQL_TOKEN_COUNTS_BPE = _sql_token_counts_bpe()
+SQL_TOKEN_COUNTS = _sql_token_counts()
+
+
+class _QualityRepetitionStage:
+    """Actor-pool stage for q_quality_scores: quality regexes compiled
+    once per actor; repetition kernel appended per batch."""
+
+    def __init__(self):
+        self.quality = QualityScoreStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.textstats import repetition_scores
+
+        q = self.quality(batch).select(
+            ["doc_id", "n_chars_text", "n_tokens", "alpha_ratio",
+             "digit_ratio", "punct_ratio", "stopword_ratio",
+             "quality_score"])
+        r = repetition_scores(batch).select(
+            ["n_lines", "dup_line_frac", "dup_2gram_frac", "dup_3gram_frac"])
+        for name in r.column_names:
+            q = q.append_column(name, r[name])
+        return q
 
 
 def q_quality_scores(sf_dir: str):
+    """Quality heuristics (length/punct/stopword ratios, Gopher-style
+    score) + repetition filters (duplicate line / 2-gram / 3-gram
+    fractions) in one pass per document. (Round-4 merge of the former
+    quality_scores / repetition_scores pair — both kernels share the
+    tokenize and one driver row verifies both.)"""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(QualityScoreStage, batch_format="pyarrow",
-                           zero_copy_batch=True, concurrency=2)
-    tbl = _to_table(out.select_columns(
-        ["doc_id", "n_chars_text", "n_tokens", "alpha_ratio", "digit_ratio",
-         "punct_ratio", "stopword_ratio", "quality_score"]
-    ))
+    tbl = _to_table(docs.map_batches(_QualityRepetitionStage,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True, concurrency=2))
     return _round_cols(tbl, {"alpha_ratio": 6, "digit_ratio": 6,
                              "punct_ratio": 6, "stopword_ratio": 6,
-                             "quality_score": 6})
+                             "quality_score": 6, "dup_line_frac": 6,
+                             "dup_2gram_frac": 6, "dup_3gram_frac": 6})
 
 
 def _stopword_alt() -> str:
@@ -944,9 +987,10 @@ def _stopword_alt() -> str:
     return "|".join(words)
 
 
-# pure arithmetic over regex match counts — fully SQL-expressible; the
-# formula mirrors QualityScoreStage term by term (same nesting, both sides
-# rounded to 6dp)
+# pure arithmetic over regex match counts + list functions — fully
+# SQL-expressible; the quality formula mirrors QualityScoreStage term by
+# term and the repetition columns mirror textstats.repetition_scores
+# (same nesting, both sides rounded to 6dp)
 SQL_QUALITY_SCORES = """
 WITH c AS (
   SELECT doc_id,
@@ -959,8 +1003,17 @@ WITH c AS (
          CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digit,
          CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
          CAST(len(regexp_extract_all(text,
-              '(?i)\\b(?:{ALT})\\b')) AS DOUBLE) AS stop
-  FROM documents)
+              '(?i)\\b(?:{ALT})\\b')) AS DOUBLE) AS stop,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         regexp_extract_all(text, '\\S+') AS toks
+  FROM documents),
+g AS (
+  SELECT *,
+         [toks[i] || chr(1) || toks[i+1]
+          for i in range(1, len(toks))] AS g2,
+         [toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2]
+          for i in range(1, len(toks) - 1)] AS g3
+  FROM c)
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS n_chars_text,
        CAST(n_tok AS BIGINT) AS n_tokens,
@@ -973,42 +1026,7 @@ SELECT doc_id,
            + (LEAST(stop / safe_tok, 0.5) * 0.8
               + (0.2 - ((digit / safe_chars) * 0.3
                         + (punct / safe_chars) * 0.3))),
-           1.0), 0.0), 6) AS quality_score
-FROM c
-""".replace("{ALT}", _stopword_alt())
-
-
-def q_repetition_scores(sf_dir: str):
-    """Gopher/RefinedWeb repetition filters: duplicate-line fraction +
-    duplicate 2/3-gram fractions per document (textstats.repetition_scores;
-    exact DuckDB twin with list functions)."""
-    from ..stages.textstats import repetition_scores
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(
-        lambda b: repetition_scores(b).select(
-            ["doc_id", "n_lines", "dup_line_frac", "dup_2gram_frac",
-             "dup_3gram_frac"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    return _round_cols(_to_table(out),
-                       {"dup_line_frac": 6, "dup_2gram_frac": 6,
-                        "dup_3gram_frac": 6})
-
-
-SQL_REPETITION_SCORES = """
-WITH c AS (
-  SELECT doc_id,
-         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
-         regexp_extract_all(text, '\\S+') AS toks
-  FROM documents),
-g AS (
-  SELECT doc_id, lines,
-         [toks[i] || chr(1) || toks[i+1]
-          for i in range(1, len(toks))] AS g2,
-         [toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2]
-          for i in range(1, len(toks) - 1)] AS g3
-  FROM c)
-SELECT doc_id,
+           1.0), 0.0), 6) AS quality_score,
        CAST(len(lines) AS BIGINT) AS n_lines,
        ROUND(CASE WHEN len(lines) = 0 THEN 0.0
              ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
@@ -1020,7 +1038,7 @@ SELECT doc_id,
              ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
                         / len(g3) END, 6) AS dup_3gram_frac
 FROM g
-"""
+""".replace("{ALT}", _stopword_alt())
 
 
 def q_top_tokens(sf_dir: str):
@@ -1138,43 +1156,59 @@ def q_approx_distinct(sf_dir: str):
                      "estimate": pa.array([est], pa.float64())})
 
 
-def q_normalize_text(sf_dir: str):
-    """NFC + control-strip + whitespace-collapse + trim (textclean stage;
-    exact DuckDB twin — both engines are RE2 + ICU)."""
-    from ..stages.textclean import normalize_text
+def q_text_clean(sf_dir: str):
+    """The text-cleaning chain in one pass per document: NFC normalize +
+    control-strip + whitespace-collapse (``text_norm``), email/IP/phone
+    redaction (``text_scrubbed``), and markup-strip of a deterministic
+    HTML wrapping (``text_plain``). (Round-4 merge of the former
+    normalize_text / pii_scrub / strip_markup triple — each kernel is an
+    independent column, one driver row verifies all three; both engines
+    are RE2 + ICU so the DuckDB twin is exact.)"""
+    from ..stages.textclean import normalize_text, scrub_pii, strip_markup
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(
-        lambda b: normalize_text(b).select(["doc_id", "text_norm"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+
+    def f(batch: pa.Table) -> pa.Table:
+        norm = normalize_text(batch)["text_norm"]
+        scrub = scrub_pii(batch)["text_scrubbed"]
+        raw = pc.binary_join_element_wise(
+            pa.scalar('<div class="d"><p>'), batch["text"],
+            pa.scalar('</p><script>var x = 1;</script>&amp;done</div>'), "")
+        plain = strip_markup(
+            pa.table({"doc_id": batch["doc_id"], "text": raw}))["text_plain"]
+        return pa.table({"doc_id": batch["doc_id"], "text_norm": norm,
+                         "text_scrubbed": scrub, "text_plain": plain})
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-SQL_NORMALIZE_TEXT = """
+SQL_TEXT_CLEAN = """
 SELECT doc_id,
        trim(regexp_replace(
             regexp_replace(nfc_normalize(text),
                            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
-            '\s+', ' ', 'g')) AS text_norm
-FROM documents
-"""
-
-
-def q_pii_scrub(sf_dir: str):
-    """Email/IP/phone redaction with typed placeholders (textclean stage)."""
-    from ..stages.textclean import scrub_pii
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return docs.map_batches(
-        lambda b: scrub_pii(b).select(["doc_id", "text_scrubbed"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-
-
-SQL_PII_SCRUB = """
-SELECT doc_id,
+            '\s+', ' ', 'g')) AS text_norm,
        regexp_replace(regexp_replace(regexp_replace(text,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
            '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
-           '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS text_scrubbed
+           '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS text_scrubbed,
+  trim(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(
+      '<div class="d"><p>' || text
+        || '</p><script>var x = 1;</script>&amp;done</div>',
+      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '(?s)<[^>]*>', ' ', 'g'),
+      '&lt;', '<', 'g'),
+      '&gt;', '>', 'g'),
+      '&quot;', '"', 'g'),
+      '&#39;', CHR(39), 'g'),
+      '&nbsp;', ' ', 'g'),
+      '&amp;', '&', 'g'),
+    '\\s+', ' ', 'g')) AS text_plain
 FROM documents
 """
 
@@ -1202,49 +1236,6 @@ WITH d AS (
 SELECT doc_id, chunk_id,
        substring(text, CAST(chunk_id * 450 + 1 AS INT), 500) AS chunk
 FROM d
-"""
-
-
-def q_strip_markup(sf_dir: str):
-    """Web-corpus text extraction: documents wrapped in deterministic
-    HTML (tags + script body + entities) then stripped back to plain text
-    by the chained-RE2 ``strip_markup`` stage. The DuckDB twin applies the
-    same patterns in the same order — both engines are RE2, so the oracle
-    is exact even on text containing markup-like characters."""
-    from ..stages.textclean import strip_markup
-
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def f(batch: pa.Table) -> pa.Table:
-        raw = pc.binary_join_element_wise(
-            pa.scalar('<div class="d"><p>'), batch["text"],
-            pa.scalar('</p><script>var x = 1;</script>&amp;done</div>'), "")
-        t = pa.table({"doc_id": batch["doc_id"], "text": raw})
-        return strip_markup(t).select(["doc_id", "text_plain"])
-
-    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-
-
-SQL_STRIP_MARKUP = """
-SELECT doc_id,
-  trim(regexp_replace(
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-    regexp_replace(regexp_replace(
-      '<div class="d"><p>' || text
-        || '</p><script>var x = 1;</script>&amp;done</div>',
-      '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-      '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-      '(?s)<!--.*?-->', ' ', 'g'),
-      '(?s)<[^>]*>', ' ', 'g'),
-      '&lt;', '<', 'g'),
-      '&gt;', '>', 'g'),
-      '&quot;', '"', 'g'),
-      '&#39;', CHR(39), 'g'),
-      '&nbsp;', ' ', 'g'),
-      '&amp;', '&', 'g'),
-    '\\s+', ' ', 'g')) AS text_plain
-FROM documents
 """
 
 
@@ -1441,14 +1432,6 @@ SELECT doc_id, cluster_id FROM g WHERE cnt >= 2
 """
 
 
-def q_minhash_dedup_near(sf_dir: str):
-    """Approximate-threshold MinHash dedup (threshold 0.5, k=3 shingles) —
-    the production configuration; recall/precision pinned in pytest
-    (no SQL oracle: banding recall is probabilistic by construction)."""
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_dedup(docs, threshold=0.5)
-
-
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs with a DETERMINISTIC oracle: exact copies
     (negative ids) share every 16-bit band, so each planted pair is always
@@ -1498,38 +1481,6 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 """
 
 
-def q_ann_lsh(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-    qtbl = qtbl.filter(pc.is_in(qtbl["vec_id"], value_set=pa.array([0])))
-    from ..stages.similarity import _to_matrix
-
-    out = lsh_bucket_topk(emb, np.asarray(qtbl["vec_id"]),
-                          _to_matrix(qtbl["embedding"]), k=5, n_bits=6)
-    return _round_cols(out, {"score": 6})
-
-
-def q_ann_ivf(sf_dir: str):
-    """IVF coarse-quantizer ANN (k-means sibling of ann_lsh): sample-trained
-    centroids, distributed assignment filter, exact top-k over the probed
-    lists. Approximate by design (nprobe/n_centroids recall) -> rows-only."""
-    import pyarrow.parquet as pq
-
-    from ..stages.similarity import _to_matrix, ivf_topk
-
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qtbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-    qtbl = qtbl.filter(pc.is_in(qtbl["vec_id"], value_set=pa.array([0])))
-    out = ivf_topk(emb, np.asarray(qtbl["vec_id"]),
-                   _to_matrix(qtbl["embedding"]), k=5, n_centroids=32,
-                   nprobe=8)
-    return _round_cols(out, {"score": 6})
-
-
 def _planted_query_vec(sf_dir: str):
     """embeddings ∪ one exact copy of query vector 0 under vec_id = -1:
     an identical vector shares every LSH bucket / nearest centroid, so the
@@ -1546,10 +1497,12 @@ def _planted_query_vec(sf_dir: str):
     return emb.union(_rd().from_arrow(dup)), q
 
 
-def q_ann_lsh_top1(sf_dir: str):
-    """Exact oracle for the LSH-bucketed ANN path via a planted duplicate
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN with an EXACT oracle via a planted duplicate
     (see _planted_query_vec): top-1 for query 0 is the copy at cosine 1.0
-    (the query itself is excluded by exclude_self)."""
+    (the query itself is excluded by exclude_self). Full-k recall over
+    organic queries is pinned in pytest (round-4 merge of the former
+    rows-only ann_lsh + oracled ann_lsh_top1 pair)."""
     from ..stages.similarity import _to_matrix
 
     both, q = _planted_query_vec(sf_dir)
@@ -1558,8 +1511,11 @@ def q_ann_lsh_top1(sf_dir: str):
     return _round_cols(out, {"score": 6})
 
 
-def q_ann_ivf_top1(sf_dir: str):
-    """Exact oracle for the IVF path via the same planted duplicate."""
+def q_ann_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (k-means sibling of ann_lsh: sample-trained
+    centroids, distributed assignment filter, exact top-k over probed
+    lists) with the same planted-duplicate EXACT oracle; full-k recall in
+    pytest (round-4 merge of ann_ivf + ann_ivf_top1)."""
     from ..stages.similarity import _to_matrix, ivf_topk
 
     both, q = _planted_query_vec(sf_dir)
@@ -1574,18 +1530,31 @@ SELECT CAST(0 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS vec_id,
 """
 
 
-def q_image_features_ppm(sf_dir: str):
-    """REAL image decode path: deterministic P6 PPM images -> actor-pool
-    decode + per-channel stats + luminance histogram (pure numpy, no codec
-    libs). Feature values pinned in pytest -> rows-only here."""
-    from ..stages.multimodal import ImageFeatureStage, synthesize_ppm_media
+def q_image_features(sf_dir: str):
+    """REAL image decode paths, BOTH codecs in one query (round-4 merge of
+    image_features_ppm + multimodal_features): deterministic P6 PPM images
+    and PNG payloads (stdlib-zlib inflate + scanline unfilter) through the
+    same actor-pool feature stage, unioned with a ``codec`` discriminator.
+    Pixel equality PNG==PPM and feature values pinned in pytest ->
+    rows-only here."""
+    from ..stages.multimodal import (ImageFeatureStage, synthesize_png_media,
+                                     synthesize_ppm_media)
 
     rd = _rd()
-    media = rd.from_arrow(synthesize_ppm_media(512, width=32, height=24))
-    out = media.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                            batch_size=64, concurrency=2)
-    return out.select_columns(["media_id", "decoded_width",
-                               "decoded_height"])
+
+    def run(tbl: pa.Table, codec: str):
+        media = rd.from_arrow(tbl)
+        out = media.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                                batch_size=64, concurrency=2)
+        return out.map_batches(
+            lambda b, c=codec: b.append_column(
+                "codec", pa.array([c] * b.num_rows, pa.string())),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    ppm = run(synthesize_ppm_media(512, width=32, height=24), "ppm")
+    png = run(synthesize_png_media(256, width=32, height=24), "png")
+    return ppm.union(png).select_columns(
+        ["media_id", "codec", "decoded_width", "decoded_height"])
 
 
 def q_audio_features_wav(sf_dir: str):
@@ -1614,22 +1583,6 @@ def q_video_frames_y4m(sf_dir: str):
                             batch_format="pyarrow", batch_size=16,
                             concurrency=2)
     return out.select_columns(["media_id", "frame_idx"])
-
-
-def q_multimodal_features(sf_dir: str):
-    """REAL compressed-image decode path: deterministic PNG payloads ->
-    actor-pool zlib-inflate + scanline-unfilter decode + per-channel
-    feature extraction. Pixel equality with the PPM twin is pinned in
-    pytest -> rows-only here. (The round-2 fake decoder is gone; every
-    decode path in stages/multimodal.py is now real.)"""
-    from ..stages.multimodal import ImageFeatureStage, synthesize_png_media
-
-    rd = _rd()
-    media = rd.from_arrow(synthesize_png_media(256, width=32, height=24))
-    out = media.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                            batch_size=32, concurrency=2)
-    return out.select_columns(["media_id", "decoded_width",
-                               "decoded_height"])
 
 
 def q_reserialize_rows(sf_dir: str):
@@ -1872,18 +1825,6 @@ SELECT event_type,
        ROUND(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type
 """
-
-
-def q_value_quantiles_sketch(sf_dir: str):
-    """Histogram-sketch grouped quantiles — the unbounded-group-size scale
-    path (approximate by construction -> rows-only; accuracy pinned in
-    tests/test_quantiles.py)."""
-    from ..stages.quantiles import grouped_quantiles_sketch
-
-    events = _read(sf_dir, "events", columns=["event_type", "value"])
-    out = grouped_quantiles_sketch(events, group_col="event_type",
-                                   value_col="value")
-    return _to_table(out)
 
 
 def q_user_sessions(sf_dir: str):
@@ -2252,7 +2193,44 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# ORDER MATTERS (round-3 verdict task #3): the driver's CORRECTNESS file
+# records only the first ~50 entries, so queries that have never had a
+# driver-verified row — plus entries whose output changed this round —
+# come FIRST; the long-stable reference-parity core follows; the tail
+# (all previously driver-verified, or no_oracle with pytest pins) may
+# fall outside the window. scripts/driver_check.py covers the full
+# surface regardless and its output is committed per round.
 QUERIES = {
+    # -- never driver-verified before round 4 ---------------------------
+    "extract_json_field": q_extract_json_field,
+    "deterministic_sample": q_deterministic_sample,
+    "stratified_sample": q_stratified_sample,
+    "distinct_langs": q_distinct_langs,
+    "quarantine_route": q_quarantine_route,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "sliding_window": q_sliding_window,
+    "value_quantiles": q_value_quantiles,
+    "user_sessions": q_user_sessions,
+    "asof_prior_view": q_asof_prior_view,
+    "range_join_window": q_range_join_window,
+    "lag_lead_events": q_lag_lead_events,
+    "running_totals": q_running_totals,
+    "tfidf": q_tfidf,
+    "unigram_logprob": q_unigram_logprob,
+    "inverted_index": q_inverted_index,
+    "rollup_lineitem": q_rollup_lineitem,
+    "pivot_orders": q_pivot_orders,
+    "top3_orders_per_priority": q_top3_orders_per_priority,
+    # -- new or output-changed in round 4 --------------------------------
+    "render_define_stop": q_render_define_stop,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "text_clean": q_text_clean,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "image_features": q_image_features,
+    # -- reference-parity core (driver-verified every round) -------------
     "split_fields": q_split_fields,
     "render_template": q_render_template,
     "render_foreach": q_render_foreach,
@@ -2274,59 +2252,53 @@ QUERIES = {
     "events_hourly_window": q_events_hourly_window,
     "exact_dedup": q_exact_dedup,
     "paragraph_dedup": q_paragraph_dedup,
-    "token_counts": q_token_counts,
-    "token_counts_bpe": q_token_counts_bpe,
-    "quality_scores": q_quality_scores,
-    "repetition_scores": q_repetition_scores,
     "top_tokens": q_top_tokens,
-    "approx_top_tokens": q_approx_top_tokens,
     "lang_id": q_lang_id,
-    "fingerprints": q_fingerprints,
-    "approx_distinct_users": q_approx_distinct,
-    "normalize_text": q_normalize_text,
-    "pii_scrub": q_pii_scrub,
-    "strip_markup": q_strip_markup,
+    # -- tail: driver-verified in r1-r3 and/or pytest-pinned no_oracle ----
     "chunk_text": q_chunk_text,
     "blocklist_filter": q_blocklist_filter,
     "corpus_pipeline": q_corpus_pipeline,
     "decontaminate": q_decontaminate,
     "minhash_dedup": q_minhash_dedup,
-    "minhash_dedup_near": q_minhash_dedup_near,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
-    "ann_lsh_top1": q_ann_lsh_top1,
-    "ann_ivf_top1": q_ann_ivf_top1,
-    "multimodal_features": q_multimodal_features,
-    "image_features_ppm": q_image_features_ppm,
+    "approx_top_tokens": q_approx_top_tokens,
+    "fingerprints": q_fingerprints,
+    "approx_distinct_users": q_approx_distinct,
     "audio_features_wav": q_audio_features_wav,
     "video_frames_y4m": q_video_frames_y4m,
     "reserialize_rows": q_reserialize_rows,
-    "extract_json_field": q_extract_json_field,
-    "deterministic_sample": q_deterministic_sample,
-    "stratified_sample": q_stratified_sample,
-    "distinct_langs": q_distinct_langs,
-    "quarantine_route": q_quarantine_route,
-    "ngram_jaccard": q_ngram_jaccard,
-    "embedding_neardup": q_embedding_neardup,
-    "sliding_window": q_sliding_window,
-    "value_quantiles": q_value_quantiles,
-    "value_quantiles_sketch": q_value_quantiles_sketch,
-    "user_sessions": q_user_sessions,
-    "asof_prior_view": q_asof_prior_view,
-    "range_join_window": q_range_join_window,
-    "lag_lead_events": q_lag_lead_events,
-    "running_totals": q_running_totals,
-    "tfidf": q_tfidf,
-    "unigram_logprob": q_unigram_logprob,
-    "inverted_index": q_inverted_index,
-    "rollup_lineitem": q_rollup_lineitem,
-    "pivot_orders": q_pivot_orders,
-    "top3_orders_per_priority": q_top3_orders_per_priority,
 }
 
 ORACLE_SQL = {
+    "extract_json_field": SQL_EXTRACT_JSON_FIELD,
+    "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "distinct_langs": SQL_DISTINCT_LANGS,
+    "quarantine_route": SQL_QUARANTINE_ROUTE,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "sliding_window": SQL_SLIDING_WINDOW,
+    "value_quantiles": SQL_VALUE_QUANTILES,
+    "user_sessions": SQL_USER_SESSIONS,
+    "asof_prior_view": SQL_ASOF_PRIOR_VIEW,
+    "range_join_window": SQL_RANGE_JOIN_WINDOW,
+    "lag_lead_events": SQL_LAG_LEAD_EVENTS,
+    "running_totals": SQL_RUNNING_TOTALS,
+    "tfidf": SQL_TFIDF,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "inverted_index": SQL_INVERTED_INDEX,
+    "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+    "pivot_orders": SQL_PIVOT_ORDERS,
+    "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
+    "render_define_stop": SQL_RENDER_DEFINE_STOP,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "text_clean": SQL_TEXT_CLEAN,
+    # the planted-duplicate construction makes the approximate ANN paths
+    # exactly oracle-able at rank 1 (full-k recall is pytest-pinned)
+    "ann_lsh": SQL_ANN_PLANTED_TOP1,
+    "ann_ivf": SQL_ANN_PLANTED_TOP1,
     "split_fields": SQL_SPLIT_FIELDS,
     "render_template": SQL_RENDER_TEMPLATE,
     "render_foreach": SQL_RENDER_FOREACH,
@@ -2347,48 +2319,19 @@ ORACLE_SQL = {
     "events_hourly_window": SQL_EVENTS_HOURLY_WINDOW,
     "exact_dedup": SQL_EXACT_DEDUP,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
-    "token_counts": SQL_TOKEN_COUNTS,
-    "token_counts_bpe": SQL_TOKEN_COUNTS_BPE,
-    "quality_scores": SQL_QUALITY_SCORES,
-    "repetition_scores": SQL_REPETITION_SCORES,
     "top_tokens": SQL_TOP_TOKENS,
     "lang_id": SQL_LANG_ID,
-    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
-    "minhash_dedup": SQL_MINHASH_DEDUP,
-    "simhash_pairs": SQL_SIMHASH_PAIRS,
-    "ann_lsh_top1": SQL_ANN_PLANTED_TOP1,
-    "ann_ivf_top1": SQL_ANN_PLANTED_TOP1,
-    "normalize_text": SQL_NORMALIZE_TEXT,
-    "pii_scrub": SQL_PII_SCRUB,
-    "strip_markup": SQL_STRIP_MARKUP,
     "chunk_text": SQL_CHUNK_TEXT,
     "blocklist_filter": SQL_BLOCKLIST_FILTER,
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "decontaminate": SQL_DECONTAMINATE,
+    "minhash_dedup": SQL_MINHASH_DEDUP,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
     "reserialize_rows": SQL_RESERIALIZE_ROWS,
-    "extract_json_field": SQL_EXTRACT_JSON_FIELD,
-    "deterministic_sample": SQL_DETERMINISTIC_SAMPLE,
-    "stratified_sample": SQL_STRATIFIED_SAMPLE,
-    "distinct_langs": SQL_DISTINCT_LANGS,
-    "quarantine_route": SQL_QUARANTINE_ROUTE,
-    "ngram_jaccard": SQL_NGRAM_JACCARD,
-    "sliding_window": SQL_SLIDING_WINDOW,
-    "value_quantiles": SQL_VALUE_QUANTILES,
-    "user_sessions": SQL_USER_SESSIONS,
-    "asof_prior_view": SQL_ASOF_PRIOR_VIEW,
-    "range_join_window": SQL_RANGE_JOIN_WINDOW,
-    "lag_lead_events": SQL_LAG_LEAD_EVENTS,
-    "running_totals": SQL_RUNNING_TOTALS,
-    "tfidf": SQL_TFIDF,
-    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
-    "inverted_index": SQL_INVERTED_INDEX,
-    "rollup_lineitem": SQL_ROLLUP_LINEITEM,
-    "pivot_orders": SQL_PIVOT_ORDERS,
-    "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
     # rows-only (non-SQL-expressible): generate_rows (seeded numpy,
     # pinned-hash pytest instead), fingerprints (SipHash),
-    # minhash_dedup_near (probabilistic banding recall), ann_lsh / ann_ivf
-    # (approximate recall beyond rank 1 — the planted-duplicate *_top1
-    # variants above ARE oracled)
+    # approx_top_tokens / approx_distinct_users (sketch estimates,
+    # error-bound pytest), image_features / audio_features_wav /
+    # video_frames_y4m (decode physics pinned in pytest)
 }

@@ -43,17 +43,28 @@ semantics — the reference resolves the name per merge, but with a constant
 argument the results are identical); both require ``template_root`` and
 cap nesting depth against include cycles.
 
-The remaining directives (``#evaluate``, ``#define``, ``#stop``,
-``#break`` — the dynamic-evaluation constructs that cannot be expressed
-as a vectorized batch kernel) raise ``ValueError("unsupported Velocity
-directive")`` at template-compile time — a loud rejection, never silently
-rendering the directive text as a literal — and a ``#``+word that is NOT a
-Velocity directive name ('Issue #123') is literal text, as in Velocity
-proper. Deviations: ``#set`` inside an ``#if``/``#foreach`` body is
-branch-local (bodies evaluate vectorized for every row, so a conditional
-global assignment has no single per-row value), and ``#foreach`` iterates
-list-typed columns or integer ranges (NiFi attributes are strings; the
-Arrow engine's list columns are the collection analog).
+``#define($ref) body #end`` binds UNRENDERED template to a reference
+(late evaluation, per Velocity): the body is kept as compiled nodes and
+evaluates at each ``$ref`` render site with the variables in scope THERE.
+``#stop`` halts rendering of the remainder of the template and ``#break``
+exits the innermost ``#foreach`` — both are per-ROW when reached under an
+``#if`` (the engine renders every branch vectorized and keeps a per-row
+halt mask: output before the directive is kept, output after it renders
+as ""), which matches Velocity's semantics row-by-row. ``#break`` outside
+a loop is a compile-time error (as in Velocity).
+
+The one remaining directive, ``#evaluate`` (render a RUNTIME string as a
+template — per-row dynamic compilation), is fundamentally incompatible
+with compile-once/vectorized execution and raises ``ValueError`` at
+template-compile time — a loud rejection, never silently rendering the
+directive text as a literal. A ``#``+word that is NOT a Velocity
+directive name ('Issue #123') is literal text, as in Velocity proper.
+Deviations: ``#set`` inside an ``#if``/``#foreach`` body is branch-local
+(bodies evaluate vectorized for every row, so a conditional global
+assignment has no single per-row value); ``#foreach`` iterates list-typed
+columns or integer ranges (NiFi attributes are strings; the Arrow
+engine's list columns are the collection analog); ``#stop``/``#break``
+inside a ``#define`` body halt only that body's render.
 """
 
 from __future__ import annotations
@@ -69,15 +80,16 @@ import pyarrow.compute as pc
 _PLACEHOLDER = re.compile(r"\$(?:\{([A-Za-z_][\w.-]*)\}|([A-Za-z_][\w]*))")
 _DIRECTIVE = re.compile(r"#(\w+)")
 _SUPPORTED_DIRECTIVES = {"if", "elseif", "else", "end", "set", "foreach",
-                         "macro", "include", "parse"}
+                         "macro", "include", "parse", "define", "stop",
+                         "break"}
 # The actual Velocity directive vocabulary: only these names are directives.
 # Any other '#'+word text ('Issue #123', 'page#section') is literal — the
 # reference (full Velocity) renders unknown directive-like text literally,
-# so raising on it would reject valid templates.
-_VELOCITY_DIRECTIVES = _SUPPORTED_DIRECTIVES | {
-    "foreach", "macro", "include", "parse", "evaluate", "define", "stop",
-    "break",
-}
+# so raising on it would reject valid templates. #evaluate (compile a
+# RUNTIME string as a template) stays loudly rejected: per-row dynamic
+# compilation is fundamentally incompatible with compile-once vectorized
+# rendering.
+_VELOCITY_DIRECTIVES = _SUPPORTED_DIRECTIVES | {"evaluate"}
 _COND = re.compile(
     r"^\s*(!)?\s*\$\{?([A-Za-z_][\w.-]*)\}?\s*"
     r"(?:(==|!=|>=|<=|>|<)\s*(.+?))?\s*$")
@@ -247,7 +259,7 @@ def _tokenize(template: str, template_root: str | None,
                 else:
                     tokens.extend(_tokenize(text, template_root, depth + 1))
             pos = end
-        elif name in ("if", "elseif", "set", "foreach"):
+        elif name in ("if", "elseif", "set", "foreach", "define"):
             arg, end = _paren_arg(template, m.end())
             tokens.append(("#" + name, arg))
             pos = end
@@ -268,7 +280,8 @@ def compile_template(template: str, *,
     directive."""
     tokens = _tokenize(template, template_root, 0)
 
-    def build(i: int, until: set[str]) -> tuple[list[tuple], int, str | None]:
+    def build(i: int, until: set[str],
+              loop_depth: int) -> tuple[list[tuple], int, str | None]:
         nodes: list[tuple] = []
         while i < len(tokens):
             kind = tokens[i][0]
@@ -276,15 +289,17 @@ def compile_template(template: str, *,
                 return nodes, i + 1, kind
             if kind == "#if":
                 branches = [(tokens[i][1], None)]
-                body, i, stop = build(i + 1, {"#elseif", "#else", "#end"})
+                body, i, stop = build(i + 1, {"#elseif", "#else", "#end"},
+                                      loop_depth)
                 branches[0] = (branches[0][0], body)
                 else_body: list[tuple] = []
                 while stop == "#elseif":
                     cond = tokens[i - 1][1]
-                    body, i, stop = build(i, {"#elseif", "#else", "#end"})
+                    body, i, stop = build(i, {"#elseif", "#else", "#end"},
+                                          loop_depth)
                     branches.append((cond, body))
                 if stop == "#else":
-                    else_body, i, stop = build(i, {"#end"})
+                    else_body, i, stop = build(i, {"#end"}, loop_depth)
                 if stop != "#end":
                     raise ValueError("#if without matching #end")
                 nodes.append(("if", branches, else_body))
@@ -300,11 +315,33 @@ def compile_template(template: str, *,
                     raise ValueError(
                         f"unsupported #foreach form: {tokens[i][1]!r} "
                         "(expected '$item in $listref' or '$i in [a..b]')")
-                body, i, stop = build(i + 1, {"#end"})
+                body, i, stop = build(i + 1, {"#end"}, loop_depth + 1)
                 if stop != "#end":
                     raise ValueError("#foreach without matching #end")
                 nodes.append(("foreach", m2.group(1), m2.group(2).strip(),
                               body))
+            elif kind == "#define":
+                m2 = _PLACEHOLDER.fullmatch(tokens[i][1].strip())
+                if not m2:
+                    raise ValueError(
+                        f"#define needs a single $reference argument, got "
+                        f"{tokens[i][1]!r}")
+                # a #define body is a fresh template context: late-bound
+                # render sites are never inside this lexical loop
+                body, i, stop = build(i + 1, {"#end"}, 0)
+                if stop != "#end":
+                    raise ValueError("#define without matching #end")
+                nodes.append(("define", m2.group(1) or m2.group(2), body))
+            elif kind == "#stop":
+                nodes.append(("stop",))
+                i += 1
+            elif kind == "#break":
+                if loop_depth == 0:
+                    raise ValueError(
+                        "#break outside a #foreach loop (Velocity only "
+                        "allows #break inside iteration)")
+                nodes.append(("break",))
+                i += 1
             elif kind in ("#elseif", "#else", "#end"):
                 raise ValueError(f"{kind} without matching #if")
             else:
@@ -312,7 +349,7 @@ def compile_template(template: str, *,
                 i += 1
         return nodes, i, None
 
-    nodes, i, stop = build(0, set())
+    nodes, i, stop = build(0, set(), 0)
     return nodes
 
 
@@ -344,6 +381,11 @@ class RenderTemplateStage:
         """Field/variable -> Arrow array (string-cast unless raw)."""
         if name in vars:
             col = vars[name]
+            if isinstance(col, tuple) and col and col[0] == "__vtl_define__":
+                # #define'd reference: late evaluation — render the stored
+                # body HERE, with the variables in scope at this site
+                return self._render_define(name, col[1], batch, visible,
+                                           vars)
         elif name in visible:
             col = batch[name]
         else:
@@ -411,35 +453,101 @@ class RenderTemplateStage:
             mask = np.asarray(res.fill_null(False))
         return ~mask if negate else mask
 
+    def _render_define(self, name: str, body: list, batch: pa.Table,
+                       visible: set, vars: dict) -> pa.Array:
+        """Render a ``#define`` body at a reference site: fresh halt state
+        (a #stop inside the body halts only the body), current variables.
+        A define rendering itself (directly or mutually) is capped."""
+        self._define_depth = getattr(self, "_define_depth", 0) + 1
+        try:
+            if self._define_depth > 32:
+                raise ValueError(
+                    f"#define render recursion exceeds 32 — does ${name} "
+                    "reference itself?")
+            n = batch.num_rows
+            state = {"stop": np.zeros(n, dtype=bool),
+                     "break": np.zeros(n, dtype=bool)}
+            return self._render_nodes(body, batch, visible, dict(vars), n,
+                                      np.ones(n, dtype=bool), state)
+        finally:
+            self._define_depth -= 1
+
     def _render_nodes(self, nodes: list, batch: pa.Table, visible: set,
-                      vars: dict, n: int) -> pa.Array:
+                      vars: dict, n: int, active: np.ndarray | None = None,
+                      state: dict | None = None) -> pa.Array:
+        """``active``: bool mask of rows this node list logically executes
+        for (#if branch bodies narrow it) — governs which rows a
+        #stop/#break applies to. ``state``: per-row halt masks, mutated in
+        document order; every emitted part is blanked for rows already
+        halted BEFORE that part (so output up to the directive is kept)."""
+        if active is None:
+            active = np.ones(n, dtype=bool)
+        if state is None:
+            state = {"stop": np.zeros(n, dtype=bool),
+                     "break": np.zeros(n, dtype=bool)}
         parts = []
+
+        def emit(part):
+            halted = state["stop"] | state["break"]
+            if halted.any():
+                part = pc.if_else(pa.array(halted),
+                                  pa.scalar("", pa.string()), part)
+            parts.append(part)
+
         for node in nodes:
             kind = node[0]
+            # snapshot BEFORE the node runs: a row halting INSIDE this
+            # node keeps the node's own output up to the halt point
+            pre_halt = state["stop"] | state["break"]
+            pre_any = bool(pre_halt.any())
+
+            def emit_post(part):
+                if pre_any:
+                    part = pc.if_else(pa.array(pre_halt),
+                                      pa.scalar("", pa.string()), part)
+                parts.append(part)
+
             if kind == "lit":
-                parts.append(pa.scalar(node[1], pa.string()))
+                emit(pa.scalar(node[1], pa.string()))
             elif kind == "field":
                 col = self._resolve(node[1], batch, visible, vars)
-                parts.append(col if col is not None
-                             else pa.scalar("", pa.string()))
+                emit(col if col is not None else pa.scalar("", pa.string()))
             elif kind == "set":
                 val = self._rhs_value(node[2], batch, visible, vars, n)
                 if isinstance(val, pa.Scalar):
                     val = pa.nulls(n, val.type).fill_null(val)
                 vars[node[1]] = val
+            elif kind == "define":
+                vars[node[1]] = ("__vtl_define__", node[2])
+            elif kind == "stop":
+                state["stop"] |= active
+            elif kind == "break":
+                state["break"] |= active
             elif kind == "if":
+                # condition masks evaluate in document order, BEFORE any
+                # branch-local #set mutations; branch bodies run with
+                # first-true-wins exclusive active masks so a #stop in a
+                # branch halts exactly the rows that took it
+                conds = [self._eval_cond(c, batch, visible, vars, n)
+                         for c, _ in node[1]]
+                taken = np.zeros(n, dtype=bool)
+                branch_out = []
+                for cm, (_, body) in zip(conds, node[1]):
+                    excl = cm & ~taken
+                    taken |= cm
+                    branch_out.append(self._render_nodes(
+                        body, batch, visible, dict(vars), n,
+                        active & excl, state))
                 rendered = self._render_nodes(node[2], batch, visible,
-                                              dict(vars), n)  # else body
-                for cond, body in reversed(node[1]):
-                    mask = pa.array(
-                        self._eval_cond(cond, batch, visible, vars, n))
-                    branch = self._render_nodes(body, batch, visible,
-                                                dict(vars), n)
-                    rendered = pc.if_else(mask, branch, rendered)
-                parts.append(rendered)
+                                              dict(vars), n,
+                                              active & ~taken, state)
+                for cm, br in zip(reversed(conds), reversed(branch_out)):
+                    rendered = pc.if_else(pa.array(cm), br, rendered)
+                emit_post(rendered)
             elif kind == "foreach":
-                parts.append(self._render_foreach(
-                    node[1], node[2], node[3], batch, visible, vars, n))
+                emit_post(self._render_foreach(
+                    node[1], node[2], node[3], batch, visible, vars, n,
+                    active, state))
             else:
                 raise ValueError(f"unexpected template node {kind!r}")
         if not parts:
@@ -453,7 +561,8 @@ class RenderTemplateStage:
 
     def _render_foreach(self, var: str, src: str, body: list,
                         batch: pa.Table, visible: set, vars: dict,
-                        n: int) -> pa.Array:
+                        n: int, active: np.ndarray | None = None,
+                        state: dict | None = None) -> pa.Array:
         """``#foreach($item in $listref) body #end`` — vectorized EXPLODE /
         RENDER / FOLD: the body renders ONCE over the flattened element
         array (scalar fields gathered per element), then per-row results
@@ -508,9 +617,32 @@ class RenderTemplateStage:
         vvars["foreach.index"] = pa.array(elem_idx)
         vvars["foreach.count"] = pa.array(elem_idx + 1)
         vvars["velocityCount"] = vvars["foreach.count"]
-        rendered = self._render_nodes(body, vbatch, visible, vvars, total)
+        # loop body runs with its OWN halt state over the exploded rows:
+        # #break halts this loop only; #stop propagates to the caller
+        active_exp = (np.repeat(active, counts) if active is not None
+                      else np.ones(total, dtype=bool))
+        state2 = {"stop": np.zeros(total, dtype=bool),
+                  "break": np.zeros(total, dtype=bool)}
+        rendered = self._render_nodes(body, vbatch, visible, vvars, total,
+                                      active_exp, state2)
         if isinstance(rendered, pa.ChunkedArray):
             rendered = rendered.combine_chunks()
+        halt_e = state2["stop"] | state2["break"]
+        if halt_e.any():
+            # suppress every element AFTER the first halting element of
+            # its row (the halting element's own tail was already blanked
+            # by in-body part masking): exclusive cumsum of halts, per-row
+            ex = np.concatenate(([0], np.cumsum(halt_e)[:-1]))
+            valid = counts > 0
+            row_base = np.repeat(ex[offsets[:-1][valid]], counts[valid])
+            prev_halt = (ex - row_base) > 0
+            if prev_halt.any():
+                rendered = pc.if_else(pa.array(prev_halt),
+                                      pa.scalar("", pa.string()), rendered)
+            if state is not None and state2["stop"].any():
+                # #stop inside the loop halts the whole template for that
+                # original row
+                np.logical_or.at(state["stop"], row_idx, state2["stop"])
         lst = pa.ListArray.from_arrays(
             pa.array(offsets.astype(np.int32), pa.int32()),
             pc.cast(rendered, pa.string()))
