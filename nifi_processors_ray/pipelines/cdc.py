@@ -90,11 +90,22 @@ def snapshot_hashes(lake: LakeTable):
 def replay_verify(lake: LakeTable, expected: pa.Table) -> bool:
     """Compare the lake's current state against an independently computed
     snapshot (``sources.changestream.expected_snapshot``) by per-row
-    sha256(content) equality on the key. Intended for test scales."""
-    got = snapshot_hashes(lake).to_pandas()
-    exp = expected.select(list(lake.key_cols) + [lake.seq_col, "content"]).to_pandas()
-    exp["content_sha256"] = sha256_column(exp.pop("content").tolist())
+    sha256(content) equality on the key. Intended for test scales.
+    Arrow-native end to end — no pandas round-trip on the comparison
+    surface (dtype-coercion hazard, see functions.tables)."""
+    from ..functions.tables import gather_table
+
     keys = list(lake.key_cols)
-    got = got.sort_values(keys).reset_index(drop=True)[keys + [lake.seq_col, "content_sha256"]]
-    exp = exp.sort_values(keys).reset_index(drop=True)[keys + [lake.seq_col, "content_sha256"]]
-    return got.equals(exp)
+    cols = keys + [lake.seq_col, "content_sha256"]
+    sort = [(k, "ascending") for k in keys]
+    got = gather_table(snapshot_hashes(lake)).select(cols).sort_by(sort)
+    exp = expected.select(keys + [lake.seq_col, "content"])
+    exp = exp.append_column(
+        "content_sha256", pa.array(sha256_column(exp["content"]), pa.string())
+    ).select(cols).sort_by(sort)
+    if got.num_rows != exp.num_rows:
+        return False
+    # unify representation (string vs large_string, chunking) before equals
+    exp = exp.cast(pa.unify_schemas([got.schema, exp.schema]))
+    got = got.cast(exp.schema)
+    return got.combine_chunks().equals(exp.combine_chunks())

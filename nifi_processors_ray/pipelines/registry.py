@@ -80,20 +80,11 @@ def _int_encode(tbl: pa.Table, spec: dict[str, int]) -> pa.Table:
 def _to_table(ds_or_tbl) -> pa.Table:
     """Oracle-scale materialization, Arrow-native end to end: a pandas
     round-trip silently coerces dtypes (the round-1 user_sessions HUGEINT
-    incident), and this is the comparison surface — so blocks are gathered
-    as Arrow refs and concatenated with schema unification, no pandas."""
-    if isinstance(ds_or_tbl, pa.Table):
-        return ds_or_tbl
-    import ray
+    incident), and this is the comparison surface. Now shared with every
+    guarded driver-side gather in the stages (functions.tables)."""
+    from ..functions.tables import gather_table
 
-    tables = ray.get(ds_or_tbl.to_arrow_refs())
-    nonempty = [t for t in tables if t.num_rows]
-    if nonempty:
-        return pa.concat_tables(nonempty, promote_options="default")
-    if tables:
-        return tables[0]
-    sch = ds_or_tbl.schema()
-    return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+    return gather_table(ds_or_tbl)
 
 
 # ---------------------------------------------------------------------------

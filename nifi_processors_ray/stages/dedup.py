@@ -26,6 +26,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import stable_hash64
+from ..functions.scale import default_partitions
+from ..functions.tables import gather_table
 
 _M = np.uint64(0xFFFFFFFFFFFFFFFF)
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -264,13 +266,14 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                num_partitions: int = 64):
+                num_partitions: int | None = None):
     """Exact dedup: vectorized content hash per batch, then ONE groupby on
     a hash PARTITION of the content hash — each task keeps the min-id row
     per content hash for its whole partition with a single lexsort (a
     per-content-group map_groups would dispatch a Python call per distinct
     document, i.e. per row at 100 TB). Only (hash, id) plus the surviving
     rows move through the shuffle."""
+    num_partitions = default_partitions(num_partitions, 64)
 
     def add_hash(batch: pa.Table) -> pa.Table:
         text = batch[text_col]
@@ -407,12 +410,13 @@ def _repack(ds, n_rows: int, num_partitions: int):
 
 
 def attach_texts(pairs_ds, n_pairs: int, docs_ds, *, id_col: str,
-                 text_col: str, num_partitions: int = 8):
+                 text_col: str, num_partitions: int | None = None):
     """Hash-join the corpus text onto each side of a candidate-pair Dataset
     -> columns (a, b, text_a, text_b). Fully distributed: the pair set and
     the (id, text) projection of the corpus are the only things shuffled.
     ``n_pairs`` (the known pair count) sizes the anti-empty-block repack —
     see ``_repack``."""
+    num_partitions = default_partitions(num_partitions, 8)
 
     def side(name):
         def project(batch: pa.Table) -> pa.Table:
@@ -433,7 +437,7 @@ def attach_texts(pairs_ds, n_pairs: int, docs_ds, *, id_col: str,
 
 
 def label_propagation_components(edges_ds, *, id_col: str = "doc_id",
-                                 num_partitions: int = 8,
+                                 num_partitions: int | None = None,
                                  max_iters: int = 50):
     """Connected components over an (a, b) edge Dataset via iterated
     min-label propagation — the multi-node path (no driver union-find).
@@ -448,6 +452,8 @@ def label_propagation_components(edges_ds, *, id_col: str = "doc_id",
     that appears in an edge.
     """
     from ray.data.aggregate import Min, Sum
+
+    num_partitions = default_partitions(num_partitions, 8)
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -602,9 +608,9 @@ def minhash_dedup(
 
     cand_ids = None
     if n_cand <= max_broadcast_docs:
+        cand_tbl = gather_table(cand.select_columns(["a", "b"]))
         cand_ids = np.unique(np.concatenate([
-            np.asarray(pa.table(cand.select_columns(["a"]).to_pandas())["a"]),
-            np.asarray(pa.table(cand.select_columns(["b"]).to_pandas())["b"]),
+            np.asarray(cand_tbl["a"]), np.asarray(cand_tbl["b"]),
         ]))
     use_broadcast = cand_ids is not None and len(cand_ids) <= max_broadcast_docs
     if use_broadcast:
@@ -625,7 +631,7 @@ def minhash_dedup(
         if picked_ds.size_bytes() > DEFAULT_BROADCAST_BUDGET:
             use_broadcast = False
     if use_broadcast:
-        picked = pa.table(picked_ds.to_pandas())
+        picked = gather_table(picked_ds)
         pids = np.asarray(picked[id_col])
         order = np.argsort(pids)
         texts = picked[text_col].combine_chunks().take(pa.array(order))
@@ -661,7 +667,7 @@ def minhash_dedup(
         return empty
     if n_pairs > max_driver_pairs:
         return label_propagation_components(verified, id_col=id_col)
-    arr = pa.table(verified.to_pandas())
+    arr = gather_table(verified)
     pairs = np.unique(np.stack([np.asarray(arr["a"], dtype=np.int64),
                                 np.asarray(arr["b"], dtype=np.int64)],
                                axis=1), axis=0)
@@ -764,7 +770,7 @@ def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     ).materialize()
     if deduped.count() > max_driver_pairs:
         return deduped.sort(["a", "b"])
-    tbl = pa.table(deduped.to_pandas())
+    tbl = gather_table(deduped)
     if tbl.num_rows == 0:
         return tbl
     order = np.lexsort((np.asarray(tbl["b"]), np.asarray(tbl["a"])))
@@ -835,8 +841,8 @@ class ContaminationStage:
 
 
 def paragraph_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                    sep: str = "\n\n", num_partitions: int = 64,
-                    doc_partitions: int = 64):
+                    sep: str = "\n\n", num_partitions: int | None = None,
+                    doc_partitions: int | None = None):
     """C4/CCNet-style paragraph-level exact dedup: split each document on
     ``sep``, keep only the GLOBALLY FIRST occurrence of every distinct
     paragraph (first = lexicographically least ``(id, paragraph_index)``),
@@ -856,6 +862,8 @@ def paragraph_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
     Paragraph identity is the 64-bit content hash (same collision stance
     as ``exact_dedup``). Real corpora split on blank lines (the default
     ``sep``); any literal separator works."""
+    num_partitions = default_partitions(num_partitions, 64)
+    doc_partitions = default_partitions(doc_partitions, 64)
     id_t = None  # resolved from the first batch
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -89,8 +89,11 @@ def broadcast_lookup(ds, lookup_ref, key_col: str, value_cols: dict[str, str]):
                 batch = batch.append_column(out_name, arr)
             return batch
 
+    from ..functions.scale import cluster_cpus
+
     return ds.map_batches(Attach, batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=2, max_restarts=0)
+                          concurrency=(1, max(2, cluster_cpus())),
+                          max_restarts=0)
 
 
 def bucket_join(
@@ -99,12 +102,16 @@ def bucket_join(
     *,
     left_on: str,
     right_on: str,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     join_type: str = "inner",
 ):
     """Partitioned hash join of two Datasets: one shuffle, per-bucket
     ``pyarrow.Table.join``. Column-name collisions (other than the keys)
-    must be resolved by the caller beforehand."""
+    must be resolved by the caller beforehand. ``num_buckets`` defaults to
+    a cluster-sized count (functions.scale)."""
+    from ..functions.scale import default_partitions
+
+    num_buckets = default_partitions(num_buckets, 32)
 
     l_schema, r_schema = left.schema(), right.schema()
     left_names = list(l_schema.names)

@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.tables import gather_table
+
 
 def _to_matrix(col) -> np.ndarray:
     """list<float> Arrow column -> (n, d) float64 matrix (zero-copy where
@@ -140,7 +142,7 @@ def knn_topk(ds, query_ids, query_matrix, *, id_col: str = "vec_id",
                          k + 1)
         return batch.take(pa.array(sel))
 
-    partials = pa.table(
+    partials = gather_table(
         ds.map_batches(
             BruteForceTopK,
             fn_constructor_args=(ref,),
@@ -151,8 +153,7 @@ def knn_topk(ds, query_ids, query_matrix, *, id_col: str = "vec_id",
             concurrency=_resolve_concurrency(concurrency),
         )
         .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True,
-                     batch_size=65536)
-        .to_pandas())
+                     batch_size=65536))
     qid = np.asarray(partials["query_id"], dtype=np.int64)
     vid = np.asarray(partials[id_col], dtype=np.int64)
     sc = np.asarray(partials["score"], dtype=np.float64)
@@ -235,7 +236,7 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
                       threshold: float = 0.95, n_bits: int = 6,
                       seed: int = 99, max_bucket_size: int = 4096,
                       max_broadcast_ids: int = 500_000,
-                      num_partitions: int = 8) -> pa.Table:
+                      num_partitions: int | None = None) -> pa.Table:
     """Embedding-cosine near-duplicate pairs.
 
     Candidate generation shuffles ONLY ``(bucket, id, sketch64)`` rows —
@@ -258,6 +259,10 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
     with cosine >= threshold, sorted by (a, b).
     """
     import ray
+
+    from ..functions.scale import default_partitions
+
+    num_partitions = default_partitions(num_partitions, 8)
 
     ham_cut = _sketch_hamming_cutoff(threshold, 64)
 
@@ -367,9 +372,9 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
 
     cand_ids = None
     if n_cand <= max_broadcast_ids:
+        cand_tbl = gather_table(cand.select_columns(["a", "b"]))
         cand_ids = np.unique(np.concatenate([
-            np.asarray(pa.table(cand.select_columns(["a"]).to_pandas())["a"]),
-            np.asarray(pa.table(cand.select_columns(["b"]).to_pandas())["b"]),
+            np.asarray(cand_tbl["a"]), np.asarray(cand_tbl["b"]),
         ]))
     use_broadcast = cand_ids is not None and len(cand_ids) <= max_broadcast_ids
     if use_broadcast:
@@ -393,7 +398,7 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
         if picked_ds.size_bytes() > DEFAULT_BROADCAST_BUDGET:
             use_broadcast = False
     if use_broadcast:
-        picked = pa.table(picked_ds.to_pandas())
+        picked = gather_table(picked_ds)
         pids = np.asarray(picked[id_col])
         order = np.argsort(pids)
         mat = _normalize(_to_matrix(picked[vec_col]))[order]
@@ -410,9 +415,9 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
             return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
                              "cosine": pa.array(s[keep], pa.float64())})
 
-        tbl = pa.table(
+        tbl = gather_table(
             cand.map_batches(verify, batch_format="pyarrow",
-                             zero_copy_batch=True).to_pandas())
+                             zero_copy_batch=True))
     else:
         # large candidate set: stay fully distributed — hash-join packed
         # vectors onto each pair side, verify vectorized per batch.
@@ -444,9 +449,9 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
                  "b": batch["b"].combine_chunks().filter(pa.array(keep)),
                  "cosine": pa.array(s[keep], pa.float64())})
 
-        tbl = pa.table(
-            j.map_batches(cosine, batch_format="pyarrow", zero_copy_batch=True)
-            .to_pandas())
+        tbl = gather_table(
+            j.map_batches(cosine, batch_format="pyarrow",
+                          zero_copy_batch=True))
     if tbl.num_rows == 0:
         return _empty_out
     # collapse multi-bucket duplicates + canonical (a, b) order
@@ -475,9 +480,9 @@ def train_ivf_centroids(ds, *, vec_col: str = "embedding",
         # deterministic slice; budget spread over ~expected batch count
         return batch.slice(0, max(1, sample_rows // 64))
 
-    sampled = pa.table(
+    sampled = gather_table(
         ds.map_batches(take_some, batch_format="pyarrow",
-                       zero_copy_batch=True).limit(sample_rows).to_pandas())
+                       zero_copy_batch=True).limit(sample_rows))
     m = _normalize(_to_matrix(sampled[vec_col]))
     rng = np.random.Generator(np.random.PCG64(seed))
     k = min(n_centroids, len(m))

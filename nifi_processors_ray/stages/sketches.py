@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import stable_hash64
+from ..functions.tables import gather_table
 
 
 def _hll_partial(batch: pa.Table, col: str, p: int) -> pa.Table:
@@ -54,15 +55,14 @@ def approx_distinct(ds, col: str, *, p: int = 12) -> float:
     from ray.data.aggregate import Max
 
     m = 1 << p
-    merged = (
+    merged = gather_table(
         ds.map_batches(lambda b: _hll_partial(b, col, p),
                        batch_format="pyarrow", zero_copy_batch=True)
         .groupby("register")
         .aggregate(Max("rank", alias_name="rank"))
-        .to_pandas()
     )
     regs = np.zeros(m, dtype=np.int64)
-    regs[merged["register"].to_numpy()] = merged["rank"].to_numpy()
+    regs[np.asarray(merged["register"])] = np.asarray(merged["rank"])
     alpha = 0.7213 / (1 + 1.079 / m)
     est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
     zeros = int((regs == 0).sum())

@@ -326,13 +326,16 @@ def _bucket_offsets(stat_partials, *, key_col: str, gap_i: int):
 
 def session_stats(ds, *, key_col: str, ts_col: str, gap_seconds: float,
                   bucket_seconds: float | None = "auto",
-                  max_group_rows: int | None = None):
+                  max_group_rows: int | None = None,
+                  max_broadcast_bytes: int | None = None):
     """Sessionize then reduce to one row per (key, session): start/end
     timestamps and event count. Bounded composition: per-(key,bucket)
     session FRAGMENTS (one narrow row per local session), then a per-key
-    segmented merge over fragments. (``bucket_seconds=None`` — the
-    single-shuffle opt-out — uses one huge bucket: the fragment stage then
-    emits final sessions directly and the merge is a cheap pass-through.)"""
+    segmented merge over fragments — driver-side under
+    ``max_broadcast_bytes`` (one sort shuffle saved), distributed past it.
+    (``bucket_seconds=None`` — the single-shuffle opt-out — uses one huge
+    bucket: the fragment stage then emits final sessions directly and the
+    merge is a cheap pass-through.)"""
     ts_type = _col_type(ds, ts_col)
     scale = _ts_scale(ts_type)
     gap_i = max(1, int(gap_seconds * scale))
@@ -398,7 +401,31 @@ def session_stats(ds, *, key_col: str, ts_col: str, gap_seconds: float,
 
     fr = (_add_window_part(ds, key_col, ts_col, bucket_i)
           .groupby("_wp")
-          .map_groups(frags, batch_format="pyarrow"))
+          .map_groups(frags, batch_format="pyarrow")).materialize()
+    # fragments are NARROW (one 6-field row per in-bucket session): when
+    # they fit the broadcast budget, run the SAME merge kernel once on the
+    # driver instead of paying a second sort shuffle (the asof/lag_lead
+    # summary-kernel pattern); past the budget — ~10^8+ sessions — the
+    # distributed key-partition merge runs unchanged
+    from .joins import DEFAULT_BROADCAST_BUDGET
+
+    budget = (max_broadcast_bytes if max_broadcast_bytes is not None
+              else DEFAULT_BROADCAST_BUDGET)
+    size = fr.size_bytes()
+    if size is not None and size <= budget:
+        import ray
+        import ray.data as rd
+
+        tabs = [t for t in ray.get(fr.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            cols = {key_col: pa.array([], _col_type(ds, key_col)),
+                    "session_idx": pa.array([], pa.int64()),
+                    "session_start": pa.array([], ts_type),
+                    "session_end": pa.array([], ts_type),
+                    "n_events": pa.array([], pa.int64())}
+            return rd.from_arrow(pa.table(cols))
+        return rd.from_arrow(
+            merge(pa.concat_tables(tabs, promote_options="default")))
     return (_key_partition(fr, key_col)
             .groupby("_kp")
             .map_groups(merge, batch_format="pyarrow"))
