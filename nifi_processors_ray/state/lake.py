@@ -488,13 +488,36 @@ class LakeTable:
     def _manifest_dir(self) -> str:
         return os.path.join(self.root, "_manifests")
 
-    def committed_epochs(self) -> list[int]:
-        d = self._manifest_dir
-        if not os.path.isdir(d):
+    def _scan_dir(self, d: str) -> list[str]:
+        """Directory listing cached on the directory's mtime: at 10^5
+        committed epochs a single read plan used to pay several full
+        ``os.listdir`` scans (committed_epochs + latest_compaction +
+        consumers) — now exactly one listdir per directory CHANGE. An
+        atomic-rename manifest write bumps the dir mtime, so cross-process
+        writers invalidate the cache naturally; our own writers also call
+        ``_invalidate_scan_cache`` so a same-tick write can never serve a
+        stale listing."""
+        try:
+            mt = os.stat(d).st_mtime_ns
+        except FileNotFoundError:
             return []
+        cache = getattr(self, "_scan_cache", None)
+        if cache is None:
+            cache = self._scan_cache = {}
+        hit = cache.get(d)
+        if hit is not None and hit[0] == mt:
+            return hit[1]
+        names = os.listdir(d)
+        cache[d] = (mt, names)
+        return names
+
+    def _invalidate_scan_cache(self) -> None:
+        self._scan_cache = {}
+
+    def committed_epochs(self) -> list[int]:
         return sorted(
             int(fn[len("epoch-") : -len(".json")])
-            for fn in os.listdir(d)
+            for fn in self._scan_dir(self._manifest_dir)
             if fn.startswith("epoch-") and fn.endswith(".json")
         )
 
@@ -502,16 +525,16 @@ class LakeTable:
         with open(os.path.join(self._manifest_dir, name)) as f:
             return json.load(f)
 
+    def _compact_versions(self) -> list[int]:
+        return sorted(
+            int(fn[len("compact-") : -len(".json")])
+            for fn in self._scan_dir(self._manifest_dir)
+            if fn.startswith("compact-") and fn.endswith(".json")
+        )
+
     def latest_compaction(self) -> tuple[int, list[int]]:
         """-> (base_version, epochs_folded_into_base); (-1, []) if none."""
-        d = self._manifest_dir
-        versions = []
-        if os.path.isdir(d):
-            versions = sorted(
-                int(fn[len("compact-") : -len(".json")])
-                for fn in os.listdir(d)
-                if fn.startswith("compact-") and fn.endswith(".json")
-            )
+        versions = self._compact_versions()
         if not versions:
             return -1, []
         m = self._read_manifest(f"compact-{versions[-1]}.json")
@@ -585,6 +608,7 @@ class LakeTable:
             "schema_hex": unified.serialize().to_pybytes().hex(),
         }
         _atomic_write_json(manifest, mpath)
+        self._invalidate_scan_cache()
         return manifest
 
     # -- lineage / metrics ---------------------------------------------------
@@ -652,11 +676,7 @@ class LakeTable:
         as a registered change-feed consumer's checkpoint (or the absence
         of compaction) keeps the fragments alive."""
         committed = [e for e in self.committed_epochs() if e <= epoch]
-        d = self._manifest_dir
-        versions = sorted(
-            int(fn[len("compact-"):-len(".json")])
-            for fn in (os.listdir(d) if os.path.isdir(d) else [])
-            if fn.startswith("compact-") and fn.endswith(".json"))
+        versions = self._compact_versions()
         best, folded_best = -1, []
         for v in versions:
             m = self._read_manifest(f"compact-{v}.json")
@@ -869,11 +889,10 @@ class LakeTable:
         change-feed consumer."""
         d = self._consumer_dir()
         out: dict[str, int] = {}
-        if os.path.isdir(d):
-            for fn in os.listdir(d):
-                if fn.endswith(".json"):
-                    with open(os.path.join(d, fn)) as f:
-                        out[fn[:-5]] = int(json.load(f)["since_epoch"])
+        for fn in self._scan_dir(d):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    out[fn[:-5]] = int(json.load(f)["since_epoch"])
         return out
 
     def register_consumer(self, name: str, *, since_epoch: int = -1) -> int:
@@ -885,6 +904,7 @@ class LakeTable:
         path = os.path.join(self._consumer_dir(), f"{name}.json")
         if not os.path.exists(path):
             _atomic_write_json({"since_epoch": int(since_epoch)}, path)
+            self._invalidate_scan_cache()
         return self._consumers()[name]
 
     def commit_consumer(self, name: str, epoch: int) -> int:
@@ -897,6 +917,7 @@ class LakeTable:
         new = max(cur, int(epoch))
         _atomic_write_json({"since_epoch": new},
                            os.path.join(self._consumer_dir(), f"{name}.json"))
+        self._invalidate_scan_cache()
         return new
 
     def consume_changes(self, name: str, *, columns: list[str] | None = None):
@@ -1200,6 +1221,7 @@ class LakeTable:
         _atomic_write_json(
             manifest, os.path.join(self._manifest_dir, f"compact-{new_version}.json")
         )
+        self._invalidate_scan_cache()
         # GC folded-epoch fragments — including orphans from retried or
         # crashed tasks of those epochs (name prefix match) — plus the
         # previous base version (safe: fenced by the manifest just written).

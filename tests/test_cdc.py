@@ -707,3 +707,46 @@ def test_snapshot_isolation_in_flight_epoch_invisible(tmp_path):
     mpath.write_bytes(stashed)
     assert lake.read_table().num_rows >= before.num_rows
     assert 2 in set(pa.table(lake.changes().to_pandas())["_epoch"].to_pylist())
+
+
+def test_manifest_scan_cache_consistency(tmp_path):
+    """The mtime-cached directory listing (round-3 verdict task #8) must
+    never serve a stale view: epochs committed through THIS handle, a
+    FOREIGN handle (different process analog), and raw file deletion all
+    surface on the next read."""
+    root = str(tmp_path / "lake")
+    lake = LakeTable(root, key_cols=["repo", "path"], seq_col="seq")
+
+    def epoch_tbl(e):
+        return pa.table({
+            "repo": ["r"] * 3,
+            "path": [f"p{i}" for i in range(3)],
+            "seq": pa.array([e * 3 + i for i in range(3)], pa.int64()),
+            "op": ["upsert"] * 3,
+        })
+
+    lake.apply_epoch(rd.from_arrow(epoch_tbl(0)), 0)
+    assert lake.committed_epochs() == [0]
+    # repeated reads hit the cache (same listing object is fine) and stay
+    # correct after a write through the same handle
+    assert lake.committed_epochs() == [0]
+    lake.apply_epoch(rd.from_arrow(epoch_tbl(1)), 1)
+    assert lake.committed_epochs() == [0, 1]
+
+    # a SECOND handle (its own cache) sees epoch 2 committed by the first
+    other = LakeTable(root)
+    assert other.committed_epochs() == [0, 1]
+    lake.apply_epoch(rd.from_arrow(epoch_tbl(2)), 2)
+    assert other.committed_epochs() == [0, 1, 2]  # mtime invalidation
+
+    # consumer checkpoints go through the same cache
+    lake.register_consumer("c1", since_epoch=-1)
+    assert other._consumers() == {"c1": -1}
+    lake.commit_consumer("c1", 1)
+    assert other._consumers() == {"c1": 1}
+    assert lake._consumers() == {"c1": 1}
+
+    # raw manifest deletion (external actor) is visible too
+    os.unlink(os.path.join(root, "_manifests", "epoch-2.json"))
+    assert lake.committed_epochs() == [0, 1]
+    assert other.committed_epochs() == [0, 1]
