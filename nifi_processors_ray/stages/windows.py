@@ -82,6 +82,14 @@ def _col_type(ds, name: str) -> pa.DataType:
     return dict(zip(sch.names, sch.types))[name]
 
 
+def _schema_lost(ds) -> bool:
+    """True for a zero-row dataset whose schema Ray could not recover
+    (e.g. empty after a repartition/groupby): nothing is computable and no
+    output schema can be synthesized, so window ops pass the empty input
+    through unchanged (documented contract; hypothesis-pinned)."""
+    return ds.schema() is None
+
+
 def _seg_change(table: pa.Table, cols: list[str]) -> np.ndarray:
     """Boolean 'starts a new segment' mask over a SORTED table (adjacent
     inequality on the given columns, Arrow compares — any dtype)."""
@@ -186,6 +194,8 @@ def sessionize(ds, *, key_col: str, ts_col: str, gap_seconds: float,
     Bounded composition per the module docstring."""
     from .joins import DEFAULT_BROADCAST_BUDGET
 
+    if _schema_lost(ds):
+        return ds
     ts_type = _col_type(ds, ts_col)
     scale = _ts_scale(ts_type)
     gap_i = max(1, int(gap_seconds * scale))
@@ -336,6 +346,8 @@ def session_stats(ds, *, key_col: str, ts_col: str, gap_seconds: float,
     (``bucket_seconds=None`` — the single-shuffle opt-out — uses one huge
     bucket: the fragment stage then emits final sessions directly and the
     merge is a cheap pass-through.)"""
+    if _schema_lost(ds):
+        return ds
     ts_type = _col_type(ds, ts_col)
     scale = _ts_scale(ts_type)
     gap_i = max(1, int(gap_seconds * scale))
@@ -448,7 +460,22 @@ def asof_join(left, right, *, on: str, by: str, value_cols: list[str],
     through the distributed key-partition path unchanged."""
     side_col = "_asof_side"
 
+    if _schema_lost(left):
+        return left
     l_schema, r_schema = left.schema(), right.schema()
+    if r_schema is None:
+        # empty right with unrecoverable schema: every left row gets null
+        # value columns (type unknowable -> null type)
+        def all_null(batch: pa.Table) -> pa.Table:
+            names = {c: (c + suffix if c in batch.column_names else c)
+                     for c in value_cols}
+            for c in value_cols:
+                batch = batch.append_column(
+                    names[c], pa.nulls(batch.num_rows, pa.null()))
+            return batch
+
+        return left.map_batches(all_null, batch_format="pyarrow",
+                                 zero_copy_batch=True)
     keep_right = [by, on] + value_cols
     r_types = dict(zip(r_schema.names, r_schema.types))
     l_names = list(l_schema.names)
@@ -637,6 +664,8 @@ def range_join(left, right, *, on: str, by: str, start_col: str,
     validity filter. If intervals overlap, the latest-starting one wins
     silently — validate upstream when that matters."""
     _RJ_END = "_rj_end"
+    if _schema_lost(left):
+        return left
     l_names = list(left.schema().names)
     out_names = {c: (c + suffix if c in l_names else c) for c in value_cols}
     keep = [by, start_col, end_col] + value_cols
@@ -695,6 +724,8 @@ def lag_lead(ds, *, key_col: str, order_col: str, value_cols: list[str],
     gather) sees every cross-bucket neighbor. ``bucket_seconds=None``
     opts out into the single-shuffle whole-key mode."""
     side_col = "_ll_side"  # -1 carry-prev, 0 real, +1 carry-next
+    if _schema_lost(ds):
+        return ds
     l_schema = ds.schema()
     types = dict(zip(l_schema.names, l_schema.types))
     order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
@@ -993,6 +1024,8 @@ def running_agg(ds, *, key_col: str, order_col: str, value_cols: list[str],
     prefix, where SQL yields NULL and this yields 0.
     """
     side_col = "_ra_side"  # -1 offset row, 0 real
+    if _schema_lost(ds):
+        return ds
     l_schema = ds.schema()
     types = dict(zip(l_schema.names, l_schema.types))
     order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
