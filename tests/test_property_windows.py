@@ -111,3 +111,48 @@ def test_session_stats_matches_duckdb(case):
         return
     cols = ["k", "session_idx", "session_start", "session_end", "n_events"]
     pd.testing.assert_frame_equal(_canon(out, cols), _canon(want, cols))
+
+
+@st.composite
+def asof_frames(draw):
+    nl = draw(st.integers(min_value=0, max_value=30))
+    nr = draw(st.integers(min_value=0, max_value=30))
+    lk = draw(st.lists(st.integers(1, 3), min_size=nl, max_size=nl))
+    rk = draw(st.lists(st.integers(1, 3), min_size=nr, max_size=nr))
+    # unique ts WITHIN each side per key is not enough: a right tie at the
+    # same (k, ts) makes "the latest right row" ambiguous — draw globally
+    # unique right timestamps; left may collide with anything
+    rts_pool = draw(st.permutations(range(150)))
+    lts = draw(st.lists(st.integers(0, 149), min_size=nl, max_size=nl))
+    left = pa.table({"k": pa.array(lk, pa.int64()),
+                     "ts": pa.array([t * 10 for t in lts], pa.int64()),
+                     "lid": pa.array(list(range(nl)), pa.int64())})
+    right = pa.table({"k": pa.array(rk, pa.int64()),
+                      "ts": pa.array([rts_pool[i] * 10 for i in range(nr)],
+                                     pa.int64()),
+                      "rv": pa.array(list(range(100, 100 + nr)), pa.int64())})
+    bucket = draw(st.sampled_from([None, 50, 300]))
+    return left, right, bucket
+
+
+@given(asof_frames())
+@settings(**_SETTINGS)
+def test_asof_join_matches_duckdb(case):
+    from nifi_processors_ray.stages.windows import asof_join
+
+    left, right, bucket = case
+    out = asof_join(rd.from_arrow(left).repartition(2),
+                    rd.from_arrow(right).repartition(2),
+                    on="ts", by="k", value_cols=["rv"],
+                    bucket_seconds=bucket).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute("""
+        SELECT l.lid, l.k, l.ts, r.rv
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts""").df()
+    if len(want) == 0:
+        assert len(out) == 0
+        return
+    cols = ["lid", "k", "ts", "rv"]
+    pd.testing.assert_frame_equal(_canon(out, cols), _canon(want, cols))
