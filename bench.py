@@ -264,6 +264,10 @@ def run_scaling():
         "sec_hi": best_hi["value"],
         "sec_lo_all": [r["value"] for r in lo],
         "sec_hi_all": [r["value"] for r in hi],
+        # apply/compact split of the best rep per level: separates the
+        # parallel ingest from compaction when diagnosing scaling
+        "cdc_lo": {k: best_lo["cdc"][k] for k in ("apply_sec", "compact_sec")},
+        "cdc_hi": {k: best_hi["cdc"][k] for k in ("apply_sec", "compact_sec")},
         "scaling_efficiency": round(eff, 3),
         "host_cpu_ceiling": ceiling,
         "efficiency_vs_host_ceiling": round(eff / ceiling["efficiency"], 3),
