@@ -330,3 +330,43 @@ def test_paragraph_dedup_stable_rowcount_and_order_dedup():
     assert len(out) == 200
     kept_all = [p for t in out["text"] if t for p in t.split("\n\n")]
     assert sorted(kept_all) == sorted(set(kept_all)) == sorted(pool)
+
+
+def test_small_corpus_fast_path_matches_distributed():
+    """knn/lsh driver-side fast path (small_bytes budget) is the SAME math
+    as the distributed actor-pool path — outputs must be identical;
+    small_bytes=0 forces the distributed path. IVF's training sample is
+    batching-dependent by design, so it pins the planted top-1 (layout-
+    independent) rather than full equality."""
+    import numpy as np
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.similarity import (_to_matrix, ivf_topk,
+                                                       knn_topk,
+                                                       lsh_bucket_topk)
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 16
+    mat = rng.standard_normal((n, d))
+    mat[7] = mat[3]  # planted duplicate: top-1 of query 3 is id 7
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(list(mat))})
+    ds = rd.from_arrow(t).repartition(4)
+    q_ids = [3, 11]
+    q_mat = _to_matrix(t.filter(
+        pc.is_in(t["vec_id"], value_set=pa.array(q_ids)))["embedding"])
+
+    for fn, kwargs in [(knn_topk, {}), (lsh_bucket_topk, {"n_bits": 5})]:
+        fast = fn(ds, q_ids, q_mat, k=4, **kwargs)
+        slow = fn(ds, q_ids, q_mat, k=4, small_bytes=0, **kwargs)
+        fast = fast.sort_by([("query_id", "ascending"), ("score", "descending"),
+                             ("vec_id", "ascending")])
+        slow = slow.sort_by([("query_id", "ascending"), ("score", "descending"),
+                             ("vec_id", "ascending")])
+        assert fast.column("vec_id").to_pylist() == slow.column("vec_id").to_pylist(), fn
+        assert np.allclose(np.asarray(fast["score"]), np.asarray(slow["score"])), fn
+
+    for small in (None, 0):
+        out = ivf_topk(ds, [3], q_mat[:1], k=1, n_centroids=8, nprobe=4,
+                       **({} if small is None else {"small_bytes": 0}))
+        assert out.column("vec_id").to_pylist() == [7], small
