@@ -312,7 +312,8 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
                       threshold: float = 0.95, n_bits: int = 6,
                       seed: int = 99, max_bucket_size: int = 4096,
                       max_broadcast_ids: int = 500_000,
-                      num_partitions: int | None = None) -> pa.Table:
+                      num_partitions: int | None = None,
+                      small_bytes: int = SMALL_CORPUS_BYTES) -> pa.Table:
     """Embedding-cosine near-duplicate pairs.
 
     Candidate generation shuffles ONLY ``(bucket, id, sketch64)`` rows —
@@ -432,6 +433,31 @@ def embedding_neardup(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
     _empty_out = pa.table({"a": pa.array([], pa.int64()),
                            "b": pa.array([], pa.int64()),
                            "cosine": pa.array([], pa.float64())})
+
+    # small-corpus fast path: the SAME kernels run once on the driver —
+    # to_buckets is per-row deterministic and bucket_pairs handles every
+    # bucket segment of its input, so feeding the whole (gathered) table
+    # produces the identical candidate set the per-_part groups would
+    # (equivalence pytest forces small_bytes=0 and compares)
+    small = _try_gather_small(ds, small_bytes)
+    if small is not None:
+        if small.num_rows == 0:
+            return _empty_out
+        pairs = bucket_pairs(to_buckets(small))
+        if pairs.num_rows == 0:
+            return _empty_out
+        arr = np.unique(np.stack([np.asarray(pairs["a"]),
+                                  np.asarray(pairs["b"])], axis=1), axis=0)
+        ids = np.asarray(small[id_col], dtype=np.int64)
+        order = np.argsort(ids)
+        m = _normalize(_to_matrix(small[vec_col]))[order]
+        ia = np.searchsorted(ids[order], arr[:, 0])
+        ib = np.searchsorted(ids[order], arr[:, 1])
+        s = np.einsum("ij,ij->i", m[ia], m[ib])
+        keep = s >= threshold
+        return pa.table({"a": pa.array(arr[keep, 0]),
+                         "b": pa.array(arr[keep, 1]),
+                         "cosine": pa.array(s[keep], pa.float64())})
 
     # candidates may repeat across buckets (a pair can co-occur in several
     # probe buckets); exact verification is idempotent, so duplicates are

@@ -370,3 +370,32 @@ def test_small_corpus_fast_path_matches_distributed():
         out = ivf_topk(ds, [3], q_mat[:1], k=1, n_centroids=8, nprobe=4,
                        **({} if small is None else {"small_bytes": 0}))
         assert out.column("vec_id").to_pylist() == [7], small
+
+
+def test_embedding_neardup_fast_path_matches_distributed():
+    """The small-corpus driver path of embedding_neardup runs the SAME
+    bucket/pair kernels — output must equal the distributed path
+    (small_bytes=0), including planted near-dups and oversized-bucket
+    chain behavior."""
+    import numpy as np
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.similarity import embedding_neardup
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 12
+    mat = rng.standard_normal((n, d))
+    mat[17] = mat[5]                      # exact duplicate
+    mat[40] = mat[20] + 0.01 * rng.standard_normal(d)  # near duplicate
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(list(mat))})
+    ds = rd.from_arrow(t).repartition(4)
+    kw = dict(threshold=0.95, n_bits=4, max_bucket_size=32)
+    fast = embedding_neardup(ds, **kw)
+    slow = embedding_neardup(ds, small_bytes=0, **kw)
+    fa = list(zip(fast.column("a").to_pylist(), fast.column("b").to_pylist()))
+    sl = list(zip(slow.column("a").to_pylist(), slow.column("b").to_pylist()))
+    assert fa == sl
+    assert (5, 17) in fa
+    assert np.allclose(sorted(np.asarray(fast["cosine"])),
+                       sorted(np.asarray(slow["cosine"])))
