@@ -266,13 +266,20 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                num_partitions: int | None = None):
+                num_partitions: int | None = None,
+                small_bytes: int | None = None):
     """Exact dedup: vectorized content hash per batch, then ONE groupby on
     a hash PARTITION of the content hash — each task keeps the min-id row
     per content hash for its whole partition with a single lexsort (a
     per-content-group map_groups would dispatch a Python call per distinct
     document, i.e. per row at 100 TB). Only (hash, id) plus the surviving
-    rows move through the shuffle."""
+    rows move through the shuffle.
+
+    Inputs that stream in under ``small_bytes`` (default 64 MB) run the
+    SAME kernels in one driver pass — the hash partition is a function of
+    the content hash, so whole-table keep_first equals the union of the
+    per-partition results (equivalence pytest); the sort-shuffle's
+    multi-second fixed cost is skipped entirely."""
     num_partitions = default_partitions(num_partitions, 64)
 
     def add_hash(batch: pa.Table) -> pa.Table:
@@ -297,6 +304,16 @@ def exact_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return group.take(pa.array(order[first])).drop_columns(
             ["_content_hash", "_part"])
 
+    from .similarity import _try_gather_small
+
+    small = _try_gather_small(
+        ds, (64 << 20) if small_bytes is None else small_bytes)
+    if small is not None:
+        if small.num_rows == 0:
+            return ds  # zero rows pass through (schema may be lost)
+        import ray.data as rd
+
+        return rd.from_arrow(keep_first(add_hash(small)))
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_part")
@@ -350,10 +367,38 @@ def dedup_pairs(pairs_ds, *, value_cols: tuple[str, ...] = ()):
             .select_columns(["a", "b"]))
 
 
+#: pair count under which MinHash text verification runs driver-side in
+#: the small-corpus fast path; past it the verify map stays distributed
+#: (it is the compute-heavy stage — serializing it on the driver was a
+#: measured 3x regression at 36k pairs)
+_DRIVER_VERIFY_PAIRS = 2048
+
 #: pair-generation tasks process many LSH buckets per call (hash-partition
 #: on the bucket key) — per-group map_groups dispatch costs a Python call
 #: + block build per bucket, which dominates wall at >10^4 buckets
 _PAIR_PARTITIONS = 256
+
+
+def _pairs_over_key_segments(group: pa.Table, key_cols: list[str],
+                             id_col: str, gen_pairs_per_segment) -> pa.Table:
+    """Sort ``group`` by the bucket key columns, segment, and hand the
+    (sorted table, segment bounds) to the caller's pair kernel. Pure —
+    shared verbatim between the distributed per-partition tasks and the
+    small-corpus driver path, so the two produce identical candidates."""
+    keys = [np.asarray(group[c]) for c in key_cols]
+    ids = np.asarray(group[id_col])
+    order = np.lexsort(tuple([ids] + keys[::-1]))
+    keys = [k[order] for k in keys]
+    n = len(ids)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        diff = np.zeros(n - 1, dtype=bool)
+        for k in keys:
+            diff |= k[1:] != k[:-1]
+        new[1:] = diff
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    return gen_pairs_per_segment(group.take(pa.array(order)), starts, ends)
 
 
 def _bucketed_pair_partition(ds, key_cols: list[str], id_col: str,
@@ -374,21 +419,8 @@ def _bucketed_pair_partition(ds, key_cols: list[str], id_col: str,
                               .astype(np.int64)))
 
     def per_partition(group: pa.Table) -> pa.Table:
-        keys = [np.asarray(group[c]) for c in key_cols]
-        ids = np.asarray(group[id_col])
-        order = np.lexsort(tuple([ids] + keys[::-1]))
-        keys = [k[order] for k in keys]
-        n = len(ids)
-        new = np.ones(n, dtype=bool)
-        if n > 1:
-            diff = np.zeros(n - 1, dtype=bool)
-            for k in keys:
-                diff |= k[1:] != k[:-1]
-            new[1:] = diff
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], n)
-        return gen_pairs_per_segment(group.take(pa.array(order)), starts,
-                                     ends)
+        return _pairs_over_key_segments(group, key_cols, id_col,
+                                        gen_pairs_per_segment)
 
     return (ds.map_batches(add_part, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -516,6 +548,7 @@ def minhash_dedup(
     max_bucket_size: int = 512,
     max_broadcast_docs: int = 500_000,
     max_driver_pairs: int = 2_000_000,
+    small_bytes: int | None = None,
 ):
     """MinHash+LSH near-duplicate clustering.
 
@@ -591,18 +624,75 @@ def minhash_dedup(
     # text verification for every signature-collision pair
     pair_keys = (["band", "band_key", "sig"] if threshold >= 1.0
                  else ["band", "band_key"])
-    cand_raw = _bucketed_pair_partition(
-        banded, pair_keys, id_col, gen_pairs).materialize()
     empty = pa.table({id_col: pa.array([], pa.int64()),
                       "cluster_id": pa.array([], pa.int64())})
-    if cand_raw.count() == 0:
-        return empty
-    # a near-dup pair matches in MANY of its bands by construction, so the
-    # raw candidate stream is heavily duplicated — dedup the narrow pairs
-    # BEFORE text verification (a pair-dedup shuffle of 16 B/row vs
-    # verifying each duplicate against full texts)
-    cand = dedup_pairs(cand_raw).materialize()
-    n_cand = cand.count()
+
+    # small-corpus fast path: SAME kernels (MinHashStage, the shared
+    # segment-pair generator, pairwise_shingle_jaccard, union-find) in one
+    # driver pass — the _part grouping is a function of the bucket key, so
+    # whole-table segmentation produces the identical candidate set
+    # (equivalence pytest forces small_bytes=0 and compares)
+    from .similarity import _try_gather_small
+
+    small = _try_gather_small(
+        ds, (64 << 20) if small_bytes is None else small_bytes)
+    cand = None
+    if small is not None:
+        if small.num_rows == 0:
+            return empty
+        cand_t = _pairs_over_key_segments(stage(small), pair_keys, id_col,
+                                          gen_pairs)
+        if cand_t.num_rows == 0:
+            return empty
+        arr = np.unique(np.stack([np.asarray(cand_t["a"], dtype=np.int64),
+                                  np.asarray(cand_t["b"], dtype=np.int64)],
+                                 axis=1), axis=0)
+        if len(arr) <= _DRIVER_VERIFY_PAIRS:
+            # few candidates: verify + cluster right here
+            ids_all = np.asarray(small[id_col], dtype=np.int64)
+            order = np.argsort(ids_all)
+            texts = small[text_col].combine_chunks() if isinstance(
+                small[text_col], pa.ChunkedArray) else small[text_col]
+            texts = texts.take(pa.array(order))
+            ia = np.searchsorted(ids_all[order], arr[:, 0])
+            ib = np.searchsorted(ids_all[order], arr[:, 1])
+            vt = pa.table({"a": pa.array(arr[:, 0]), "b": pa.array(arr[:, 1]),
+                           "text_a": texts.take(pa.array(ia)),
+                           "text_b": texts.take(pa.array(ib))})
+            vt = pairwise_shingle_jaccard(vt, "text_a", "text_b",
+                                          k=shingle_k)
+            keep = np.asarray(vt["jaccard"]) >= threshold
+            pairs = np.unique(np.stack([arr[keep, 0], arr[keep, 1]],
+                                       axis=1), axis=0)
+            if len(pairs) == 0:
+                return empty
+            comp = _connected_components(pairs)
+            items = sorted(comp.items())
+            return pa.table({
+                id_col: pa.array([k for k, _ in items], pa.int64()),
+                "cluster_id": pa.array([v for _, v in items], pa.int64()),
+            })
+        # many candidates: text verification is the COMPUTE-heavy stage —
+        # keep it distributed (one map over the pair Dataset with the
+        # broadcast texts); only the two candidate shuffles were skipped
+        import ray.data as _rd
+
+        cand = _rd.from_arrow(pa.table({"a": pa.array(arr[:, 0]),
+                                        "b": pa.array(arr[:, 1])})
+                              ).repartition(default_partitions(None, 8)
+                                            ).materialize()
+        n_cand = len(arr)
+    if cand is None:
+        cand_raw = _bucketed_pair_partition(
+            banded, pair_keys, id_col, gen_pairs).materialize()
+        if cand_raw.count() == 0:
+            return empty
+        # a near-dup pair matches in MANY of its bands by construction, so
+        # the raw candidate stream is heavily duplicated — dedup the narrow
+        # pairs BEFORE text verification (a pair-dedup shuffle of 16 B/row
+        # vs verifying each duplicate against full texts)
+        cand = dedup_pairs(cand_raw).materialize()
+        n_cand = cand.count()
     if n_cand == 0:
         return empty
 
@@ -842,7 +932,8 @@ class ContaminationStage:
 
 def paragraph_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
                     sep: str = "\n\n", num_partitions: int | None = None,
-                    doc_partitions: int | None = None):
+                    doc_partitions: int | None = None,
+                    small_bytes: int | None = None):
     """C4/CCNet-style paragraph-level exact dedup: split each document on
     ``sep``, keep only the GLOBALLY FIRST occurrence of every distinct
     paragraph (first = lexicographically least ``(id, paragraph_index)``),
@@ -904,7 +995,12 @@ def paragraph_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "_dpart", pa.array((h % np.uint64(doc_partitions))
                                .astype(np.int64)))
 
-    kept_pairs = (
+    from .similarity import _try_gather_small
+
+    small = _try_gather_small(
+        ds, (64 << 20) if small_bytes is None else small_bytes)
+
+    kept_pairs = None if small is not None else (
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_part")
         .map_groups(winners, batch_format="pyarrow")
@@ -928,10 +1024,11 @@ def paragraph_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "_dpart": batch["_dpart"],
         })
 
-    docs_tagged = ds.map_batches(tag_docs, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-    kept_tagged = kept_pairs.map_batches(tag_kept, batch_format="pyarrow",
-                                         zero_copy_batch=True)
+    if small is None:
+        docs_tagged = ds.map_batches(tag_docs, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        kept_tagged = kept_pairs.map_batches(tag_kept, batch_format="pyarrow",
+                                             zero_copy_batch=True)
 
     def rebuild(group: pa.Table) -> pa.Table:
         is_doc = pc.is_valid(group[text_col])
@@ -972,6 +1069,19 @@ def paragraph_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
                                      kept_flat), sep)
         return pa.table({id_col: docs[id_col], text_col: joined})
 
+    if small is not None:
+        # driver fast path, SAME kernels end to end: the hash partitions
+        # are functions of (paragraph hash / doc id), so whole-table
+        # winners/rebuild equal the union of per-partition results
+        # (equivalence pytest forces small_bytes=0 and compares)
+        if small.num_rows == 0:
+            return ds  # zero rows pass through (schema may be lost)
+        import ray.data as rd
+
+        kept = winners(explode(small))
+        union = pa.concat_tables([tag_docs(small), tag_kept(kept)],
+                                 promote_options="default")
+        return rd.from_arrow(rebuild(union))
     return (docs_tagged.union(kept_tagged)
             .groupby("_dpart")
             .map_groups(rebuild, batch_format="pyarrow"))

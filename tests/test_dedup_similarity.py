@@ -399,3 +399,57 @@ def test_embedding_neardup_fast_path_matches_distributed():
     assert (5, 17) in fa
     assert np.allclose(sorted(np.asarray(fast["cosine"])),
                        sorted(np.asarray(slow["cosine"])))
+
+
+def test_dedup_fast_paths_match_distributed():
+    """exact_dedup / paragraph_dedup driver fast paths run the same
+    kernels as the partitioned shuffles — outputs must be identical
+    (small_bytes=0 forces the distributed path)."""
+    import numpy as np
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.dedup import exact_dedup, paragraph_dedup
+
+    texts = ["a b\n\nc d\n\na b", "c d\n\nx", "a b\n\nc d\n\na b", "", "x"]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t).repartition(3)
+
+    for fn in (exact_dedup, paragraph_dedup):
+        fast = fn(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        slow = fn(ds, small_bytes=0).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        assert fast.equals(slow), (fn.__name__, fast, slow)
+
+
+def test_minhash_fast_path_matches_distributed():
+    """minhash_dedup's small-corpus driver path shares every kernel with
+    the distributed pipeline — clusters must be identical, at exact
+    (threshold 1.0, set-hash-keyed buckets) AND approximate thresholds,
+    including the oversized-bucket chain fallback."""
+    import numpy as np
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.dedup import minhash_dedup
+
+    base = ["the quick brown fox jumps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "how vexingly quick daft zebras jump"]
+    texts = []
+    for i in range(120):
+        t = base[i % 3]
+        if i % 5 == 0:
+            t = t + f" extra{i % 7}"
+        texts.append(t)
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t).repartition(3)
+    for kw in (dict(threshold=1.0, shingle_k=1, num_perm=16, bands=1),
+               dict(threshold=0.5, max_bucket_size=16)):
+        fast = minhash_dedup(ds, **kw)
+        slow = minhash_dedup(ds, small_bytes=0, **kw)
+        f = fast.to_pandas() if not hasattr(fast, "iter_batches") else fast.to_pandas()
+        s_ = slow.to_pandas() if not hasattr(slow, "iter_batches") else slow.to_pandas()
+        f = f.sort_values("doc_id").reset_index(drop=True)
+        s_ = s_.sort_values("doc_id").reset_index(drop=True)
+        assert f.equals(s_), (kw, f.head(), s_.head())
