@@ -236,7 +236,8 @@ def repetition_scores(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return out
 
 
-def token_frequencies(ds, *, text_col: str = "text", top_k: int | None = None):
+def token_frequencies(ds, *, text_col: str = "text", top_k: int | None = None,
+                      small_bytes: int | None = None):
     """Corpus token-frequency table (the vocabulary-building primitive):
     per-batch ``value_counts`` PARTIALS (one row per distinct token per
     batch — the combiner that keeps the shuffle tiny), a sum-groupby on
@@ -256,6 +257,23 @@ def token_frequencies(ds, *, text_col: str = "text", top_k: int | None = None):
         return pa.table({"token": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
+    from .similarity import _try_gather_small
+
+    small = _try_gather_small(
+        ds, (64 << 20) if small_bytes is None else small_bytes)
+    if small is not None:
+        # driver fast path, same kernel: one value_counts over the whole
+        # gathered corpus IS the sum of the per-batch partials
+        import ray.data as rd
+
+        t = partial(small) if small.num_rows else pa.table(
+            {"token": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())})
+        if top_k is not None and t.num_rows:
+            order = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                                  ("token", "ascending")])
+            t = t.take(order.slice(0, top_k))
+        return rd.from_arrow(t)
     freq = (ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("token")
@@ -263,6 +281,27 @@ def token_frequencies(ds, *, text_col: str = "text", top_k: int | None = None):
     if top_k is not None:
         freq = freq.sort(["n", "token"], descending=[True, False]).limit(top_k)
     return freq
+
+
+def _doc_tokens_batch(batch: pa.Table, id_col: str,
+                      text_col: str) -> pa.Table:
+    """One batch -> distinct ``(id, token, tf)`` rows. Shared verbatim
+    between the distributed explode and the small-corpus driver paths."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(text.fill_null("")), r"\s+")
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts).astype(np.int64)
+    rows = np.repeat(np.arange(len(counts)), counts)
+    t = pa.table({id_col: pc.take(batch[id_col], pa.array(rows)),
+                  "token": flat})
+    t = t.filter(pc.not_equal(t["token"], ""))
+    g = t.group_by([id_col, "token"]).aggregate([("token", "count")])
+    return pa.table({id_col: g[id_col], "token": g["token"],
+                     "tf": pc.cast(g["token_count"], pa.int64())})
 
 
 def doc_token_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text"):
@@ -274,28 +313,15 @@ def doc_token_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     needed). Materialized so multi-consumer pipelines tokenize once."""
 
     def doc_tokens(batch: pa.Table) -> pa.Table:
-        text = batch[text_col]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(text.fill_null("")), r"\s+")
-        flat = pc.list_flatten(toks)
-        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        counts = np.nan_to_num(counts).astype(np.int64)
-        rows = np.repeat(np.arange(len(counts)), counts)
-        t = pa.table({id_col: pc.take(batch[id_col], pa.array(rows)),
-                      "token": flat})
-        t = t.filter(pc.not_equal(t["token"], ""))
-        g = t.group_by([id_col, "token"]).aggregate([("token", "count")])
-        return pa.table({id_col: g[id_col], "token": g["token"],
-                         "tf": pc.cast(g["token_count"], pa.int64())})
+        return _doc_tokens_batch(batch, id_col, text_col)
 
     return ds.map_batches(doc_tokens, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
 
 
 def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                    max_broadcast_bytes: int | None = None):
+                    max_broadcast_bytes: int | None = None,
+                    small_bytes: int | None = None):
     """Corpus-LM quality score (the KenLM-perplexity-filter shape on a
     unigram model): per document, the mean log-probability of its tokens
     under the corpus' own unigram distribution,
@@ -316,6 +342,48 @@ def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     budget = (max_broadcast_bytes if max_broadcast_bytes is not None
               else DEFAULT_BROADCAST_BUDGET)
+
+    from .similarity import _try_gather_small
+
+    small = _try_gather_small(
+        ds, (64 << 20) if small_bytes is None else small_bytes)
+    if small is not None:
+        # driver fast path: same tokenize kernel, same hash-sorted
+        # ln(count) lookup, same finish arithmetic — one pass, no shuffles
+        import ray.data as rd
+
+        pairs_t = (_doc_tokens_batch(small, id_col, text_col)
+                   if small.num_rows else None)
+        if pairs_t is None or pairs_t.num_rows == 0:
+            id_t = (small.schema.field(id_col).type
+                    if small.num_rows or id_col in small.column_names
+                    else pa.int64())
+            return rd.from_arrow(pa.table({
+                id_col: pa.array([], id_t),
+                "n_tok": pa.array([], pa.int64()),
+                "unigram_logprob": pa.array([], pa.float64())}))
+        f = pairs_t.group_by("token").aggregate([("tf", "sum")])
+        n_arr = np.asarray(f["tf_sum"], np.float64)
+        total = float(n_arr.sum())
+        h = stable_hash64(f["token"])
+        order = np.argsort(h)
+        h_s, ln_n = h[order], np.log(n_arr[order])
+        th = stable_hash64(pairs_t["token"])
+        idx = np.clip(np.searchsorted(h_s, th), 0, max(0, len(h_s) - 1))
+        tf = np.asarray(pairs_t["tf"], np.float64)
+        lp = tf * ln_n[idx]
+        ids = pairs_t[id_col].combine_chunks() if isinstance(
+            pairs_t[id_col], pa.ChunkedArray) else pairs_t[id_col]
+        g = pa.table({id_col: ids, "lp": pa.array(lp, pa.float64()),
+                      "tf": pairs_t["tf"]}).group_by(id_col).aggregate(
+            [("lp", "sum"), ("tf", "sum")])
+        lp_s = np.asarray(g["lp_sum"], np.float64)
+        n_tok = np.asarray(g["tf_sum"], np.float64)
+        return rd.from_arrow(pa.table({
+            id_col: g[id_col],
+            "n_tok": pc.cast(g["tf_sum"], pa.int64()),
+            "unigram_logprob": pa.array(lp_s / n_tok - np.log(total),
+                                        pa.float64())}))
 
     pairs = doc_token_pairs(ds, id_col=id_col, text_col=text_col)
     # materialize the vocabulary-sized aggregate ONCE: the size check and
@@ -394,7 +462,8 @@ def unigram_logprob(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
 
 def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                   max_postings: int = 1024):
+                   max_postings: int = 1024,
+                   small_bytes: int | None = None):
     """Corpus inverted index: one row per token with ``n_postings`` and
     ``postings`` — the doc ids containing the token, ascending,
     comma-joined (the search-index build step). Postings per token are
@@ -413,8 +482,6 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
     if max_postings < 1:
         raise ValueError("max_postings must be >= 1")
 
-    pairs = doc_token_pairs(ds, id_col=id_col, text_col=text_col) \
-        .select_columns(["token", id_col])
 
     def keep_lowest(batch: pa.Table) -> pa.Table:
         t = batch.take(pc.sort_indices(
@@ -447,6 +514,26 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "postings": pc.binary_join(la, ","),
         })
 
+    from .similarity import _try_gather_small
+
+    small = _try_gather_small(
+        ds, (64 << 20) if small_bytes is None else small_bytes)
+    if small is not None:
+        # driver fast path: global build() on the whole pair table — the
+        # per-batch keep_lowest caps are a superset-preserving prefilter,
+        # so skipping them changes nothing (build re-caps globally)
+        import ray.data as rd
+
+        if small.num_rows == 0:
+            return rd.from_arrow(build(pa.table(
+                {"token": pa.array([], pa.string()),
+                 id_col: pa.array([], pa.int64())})))
+        pairs_t = _doc_tokens_batch(small, id_col, text_col).select(
+            ["token", id_col])
+        return rd.from_arrow(build(pairs_t))
+
+    pairs = doc_token_pairs(ds, id_col=id_col, text_col=text_col) \
+        .select_columns(["token", id_col])
     partials = pairs.map_batches(keep_lowest, batch_format="pyarrow",
                                  zero_copy_batch=True)
     return (_key_partition(partials, "token")
@@ -456,7 +543,8 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
 
 def tfidf(ds, *, id_col: str = "doc_id", text_col: str = "text",
-          max_broadcast_bytes: int | None = None):
+          max_broadcast_bytes: int | None = None,
+          small_bytes: int | None = None):
     """Corpus TF-IDF: one row per distinct (doc, token) pair with
     ``tf`` (occurrences in the doc), ``df`` (docs containing the token)
     and ``tfidf = tf * ln(N / df)``.
@@ -476,6 +564,42 @@ def tfidf(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     budget = (max_broadcast_bytes if max_broadcast_bytes is not None
               else DEFAULT_BROADCAST_BUDGET)
+
+    from .similarity import _try_gather_small
+
+    small = _try_gather_small(
+        ds, (64 << 20) if small_bytes is None else small_bytes)
+    if small is not None:
+        # driver fast path: same tokenize kernel + hash-sorted df lookup,
+        # output columns identical to the distributed AttachIdf
+        import ray.data as rd
+
+        nd = float(small.num_rows)
+        pairs_t = (_doc_tokens_batch(small, id_col, text_col)
+                   if small.num_rows else None)
+        if pairs_t is None or pairs_t.num_rows == 0:
+            id_t = (small.schema.field(id_col).type
+                    if id_col in small.column_names else pa.int64())
+            return rd.from_arrow(pa.table({
+                id_col: pa.array([], id_t),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "tfidf": pa.array([], pa.float64())}))
+        f = pairs_t.group_by("token").aggregate([("token", "count")])
+        h = stable_hash64(f["token"])
+        order = np.argsort(h)
+        h_s = h[order]
+        df_s = np.asarray(pc.cast(f["token_count"], pa.int64()))[order]
+        th = stable_hash64(pairs_t["token"])
+        idx = np.clip(np.searchsorted(h_s, th), 0, max(0, len(h_s) - 1))
+        dfv = df_s[idx]
+        tf = np.asarray(pairs_t["tf"], np.float64)
+        out = pairs_t.append_column("df", pa.array(dfv))
+        out = out.append_column(
+            "tfidf", pa.array(tf * np.log(nd / dfv.astype(np.float64)),
+                              pa.float64()))
+        return rd.from_arrow(out)
 
     # each document is one input row, so per-batch (doc, token) pairs are
     # globally distinct — df is a plain count of pairs per token

@@ -454,3 +454,36 @@ def test_inverted_index_matches_bruteforce_with_cap():
     assert set(got) == set(want)
     for w, ids in want.items():
         assert got[w] == (len(ids), ",".join(str(i) for i in ids)), w
+
+
+def test_textstats_fast_paths_match_distributed():
+    """token_frequencies / unigram_logprob / tfidf / inverted_index driver
+    fast paths share the tokenize kernel and lookup math with the
+    distributed pipelines — outputs must be identical up to float
+    round-off (small_bytes=0 forces the distributed path)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from nifi_processors_ray.stages.textstats import (inverted_index,
+                                                      token_frequencies,
+                                                      tfidf, unigram_logprob)
+
+    texts = ["the cat sat", "the dog", "", "cat cat cat", "a b c the"] * 8
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t).repartition(3)
+
+    cases = [
+        (token_frequencies, dict(top_k=5), ["token"]),
+        (unigram_logprob, {}, ["doc_id"]),
+        (tfidf, {}, ["doc_id", "token"]),
+        (inverted_index, dict(max_postings=3), ["token"]),
+    ]
+    for fn, kw, keys in cases:
+        fast = fn(ds, **kw).to_pandas()
+        slow = fn(ds, small_bytes=0, **kw).to_pandas()
+        fast = fast.sort_values(keys).reset_index(drop=True)[sorted(fast.columns)]
+        slow = slow.sort_values(keys).reset_index(drop=True)[sorted(slow.columns)]
+        pd.testing.assert_frame_equal(fast, slow, check_dtype=False,
+                                      rtol=1e-12, atol=1e-12)
