@@ -66,6 +66,18 @@ def grouped_quantiles(ds, *, group_col: str, value_col: str,
                 np.where(f == c, lo, lo + (hi - lo) * (k - f)), pa.float64())
         return pa.table(cols)
 
+    from .similarity import _try_gather_small
+
+    small = _try_gather_small(ds)
+    if small is not None:
+        if group_col not in small.column_names:
+            return ds  # zero rows with unrecoverable schema: pass through
+        # driver fast path: the partition kernel handles MANY group
+        # segments, and _kp is a function of the group — whole-table
+        # per_partition equals the union of the per-partition results
+        import ray.data as rd
+
+        return rd.from_arrow(per_partition(small))
     return (_key_partition(ds, group_col)
             .groupby("_kp")
             .map_groups(per_partition, batch_format="pyarrow"))
