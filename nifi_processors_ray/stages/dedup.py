@@ -666,6 +666,16 @@ def minhash_dedup(
                                        axis=1), axis=0)
             if len(pairs) == 0:
                 return empty
+            if len(pairs) > max_driver_pairs:
+                # honor the driver guard's API contract: past the cap,
+                # components run distributed and arrive as a Dataset —
+                # exactly like the fully distributed pipeline
+                import ray.data as _rd
+
+                verified = _rd.from_arrow(pa.table(
+                    {"a": pa.array(pairs[:, 0]),
+                     "b": pa.array(pairs[:, 1])}))
+                return label_propagation_components(verified, id_col=id_col)
             comp = _connected_components(pairs)
             items = sorted(comp.items())
             return pa.table({
@@ -773,7 +783,8 @@ def minhash_dedup(
 
 def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3, max_bucket_size: int = 4096,
-                  max_driver_pairs: int = 2_000_000):
+                  max_driver_pairs: int = 2_000_000,
+                  small_bytes: int | None = None):
     """SimHash near-dup: 4 bands of 16 bits (any identical band is a
     candidate — guaranteed to catch all pairs with Hamming distance <= 3),
     verified by exact Hamming distance inside the bucket task. Returns
@@ -848,6 +859,44 @@ def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return pa.table({"a": pa.array(np.concatenate(out_a)),
                          "b": pa.array(np.concatenate(out_b)),
                          "hamming": pa.array(np.concatenate(out_h))})
+
+    # small-corpus fast path: same fingerprint/band/pair kernels in one
+    # driver pass (the _part grouping is a function of the band key)
+    from .similarity import _try_gather_small
+
+    small = _try_gather_small(
+        ds, (64 << 20) if small_bytes is None else small_bytes)
+    if small is not None:
+        if small.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        cand_t = _pairs_over_key_segments(to_bands(small),
+                                          ["band", "band_key"], id_col,
+                                          gen_pairs)
+        if cand_t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        # multi-band dedup with Min(hamming) — hamming is a function of
+        # the pair, so any representative is exact
+        arr = np.stack([np.asarray(cand_t["a"], np.int64),
+                        np.asarray(cand_t["b"], np.int64)], axis=1)
+        ham = np.asarray(cand_t["hamming"], np.int64)
+        uniq, inv = np.unique(arr, axis=0, return_inverse=True)
+        hmin = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(hmin, inv, ham)
+        out = pa.table({"a": pa.array(uniq[:, 0]),
+                        "b": pa.array(uniq[:, 1]),
+                        "hamming": pa.array(hmin)})
+        if out.num_rows > max_driver_pairs:
+            # honor the driver guard's API contract: past the cap the
+            # caller gets a (sorted) Dataset, exactly like the
+            # distributed path
+            import ray.data as _rd
+
+            return _rd.from_arrow(out).sort(["a", "b"])
+        return out
 
     # multi-bucket pair generation per hash partition, then distributed
     # pair dedup (hamming is a function of (a, b) -> Min carries it exact)

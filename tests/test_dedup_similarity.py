@@ -453,3 +453,12 @@ def test_minhash_fast_path_matches_distributed():
         f = f.sort_values("doc_id").reset_index(drop=True)
         s_ = s_.sort_values("doc_id").reset_index(drop=True)
         assert f.equals(s_), (kw, f.head(), s_.head())
+
+
+def test_simhash_fast_path_matches_distributed():
+    """simhash_dedup's driver fast path shares the band/pair kernels —
+    verified pairs and hamming values must be identical."""
+    ds = rd.from_arrow(_docs())
+    fast = simhash_dedup(ds, max_hamming=4)
+    slow = simhash_dedup(ds, max_hamming=4, small_bytes=0)
+    assert fast.to_pydict() == slow.to_pydict()
