@@ -2067,7 +2067,7 @@ def q_running_totals(sf_dir: str):
 
 SQL_RUNNING_TOTALS = """
 SELECT event_id, user_id, ts, ROUND(value, 6) AS value, value_cents,
-       SUM(value_cents) OVER w AS value_cents_cumsum,
+       CAST(SUM(value_cents) OVER w AS BIGINT) AS value_cents_cumsum,
        ROW_NUMBER() OVER w AS row_number
 FROM (SELECT event_id, user_id, ts, value,
              CAST(FLOOR(value * 100) AS BIGINT) AS value_cents FROM events)

@@ -798,10 +798,16 @@ def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     fp = FingerprintStage(text_col=text_col)
 
+    def fingerprint_ids(batch: pa.Table) -> pa.Table:
+        """Distributed fingerprint stage: only the 16-byte/row
+        (id, simhash64) projection leaves the worker — content never
+        ships downstream (and never reaches the driver on the fast
+        path either)."""
+        return fp(batch).select([id_col, "simhash64"])
+
     def to_bands(batch: pa.Table) -> pa.Table:
-        t = fp(batch)
-        sim = np.asarray(t["simhash64"]).astype(np.uint64)
-        ids = np.asarray(t[id_col])
+        sim = np.asarray(batch["simhash64"]).astype(np.uint64)
+        ids = np.asarray(batch[id_col])
         n = len(ids)
         out_id, out_band, out_key, out_sim = [], [], [], []
         for b in range(4):
@@ -860,12 +866,20 @@ def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
                          "b": pa.array(np.concatenate(out_b)),
                          "hamming": pa.array(np.concatenate(out_h))})
 
-    # small-corpus fast path: same fingerprint/band/pair kernels in one
-    # driver pass (the _part grouping is a function of the band key)
+    # Fingerprint FIRST, distributed, on the actor/task pool — the
+    # driver only ever sees the tiny (id, simhash64) projection. The
+    # r4 regression (21.7s driver-side FingerprintStage on 5k docs)
+    # came from gathering raw text and fingerprinting single-threaded.
+    fph = ds.map_batches(fingerprint_ids, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    # small-corpus fast path: band/pair kernels in one driver pass over
+    # the 16-byte/row projection (the _part grouping is a function of
+    # the band key); 64 MB of (id, simhash64) covers ~4M docs
     from .similarity import _try_gather_small
 
     small = _try_gather_small(
-        ds, (64 << 20) if small_bytes is None else small_bytes)
+        fph, (64 << 20) if small_bytes is None else small_bytes)
     if small is not None:
         if small.num_rows == 0:
             return pa.table({"a": pa.array([], pa.int64()),
@@ -873,7 +887,7 @@ def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
                              "hamming": pa.array([], pa.int64())})
         cand_t = _pairs_over_key_segments(to_bands(small),
                                           ["band", "band_key"], id_col,
-                                          gen_pairs)
+                                          gen_pairs)  # small == (id, simhash64)
         if cand_t.num_rows == 0:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
@@ -900,8 +914,8 @@ def simhash_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     # multi-bucket pair generation per hash partition, then distributed
     # pair dedup (hamming is a function of (a, b) -> Min carries it exact)
-    banded = ds.map_batches(to_bands, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    banded = fph.map_batches(to_bands, batch_format="pyarrow",
+                             zero_copy_batch=True)
     deduped = dedup_pairs(
         _bucketed_pair_partition(banded, ["band", "band_key"], id_col,
                                  gen_pairs),

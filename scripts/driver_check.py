@@ -52,6 +52,19 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
+            # the driver's value hash is TYPE-sensitive: an int64 column vs
+            # a float64 oracle column hashes differently even when every
+            # value is numerically equal ("123" vs "123.0"). Mirror that:
+            # a dtype-kind mismatch is a problem on its own.
+            kind = {"i": "int", "u": "int", "b": "bool", "f": "float",
+                    "O": "obj", "U": "obj", "S": "obj",
+                    "M": "ts", "m": "td"}
+            ak = kind.get(av.dtype.kind, av.dtype.kind)
+            bk = kind.get(bv.dtype.kind, bv.dtype.kind)
+            if ak != bk:
+                problems.append(
+                    f"dtype differs in {c}: ray={av.dtype} sql={bv.dtype} "
+                    f"(driver hash is type-sensitive)")
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 bad = ~np.isclose(av.astype(float), bv.astype(float),
                                   rtol=0, atol=1e-9, equal_nan=True)
