@@ -34,3 +34,15 @@ def default_partitions(explicit: "int | None", floor: int,
     if explicit is not None:
         return int(explicit)
     return max(floor, int(cluster_cpus() * per_cpu))
+
+
+def default_pool(explicit=None, *, floor: int = 2, per_cpu: float = 1.0):
+    """Actor-pool ``concurrency`` for ``map_batches``: ``explicit`` if
+    given, else an AUTOSCALING ``(1, max(floor, cpus * per_cpu))`` range —
+    a fixed ``concurrency=2`` pins the stage at 2 workers on a 256-core
+    cluster, while ``(1, cpus)`` lets Ray size the pool to the queue (and
+    a 1-block pytest input no longer warns about an underfed min-2 pool).
+    """
+    if explicit is not None:
+        return explicit
+    return (1, max(floor, int(cluster_cpus() * per_cpu)))

@@ -105,7 +105,11 @@ def replay_verify(lake: LakeTable, expected: pa.Table) -> bool:
     ).select(cols).sort_by(sort)
     if got.num_rows != exp.num_rows:
         return False
-    # unify representation (string vs large_string, chunking) before equals
-    exp = exp.cast(pa.unify_schemas([got.schema, exp.schema]))
+    # unify representation (string vs large_string, chunking) before
+    # equals — permissive promotion is REQUIRED: default unify_schemas
+    # raises ArrowTypeError on exactly the string/large_string divergence
+    # this line exists to normalize
+    exp = exp.cast(pa.unify_schemas([got.schema, exp.schema],
+                                    promote_options="permissive"))
     got = got.cast(exp.schema)
     return got.combine_chunks().equals(exp.combine_chunks())

@@ -39,6 +39,20 @@ from ..state.lake import LakeTable, latest_by_key
 # ---------------------------------------------------------------------------
 
 
+def _pool(explicit=None):
+    """Cluster-sized autoscaling actor-pool concurrency (scale.py)."""
+    from ..functions.scale import default_pool
+
+    return default_pool(explicit)
+
+
+def _partitions(floor: int) -> int:
+    """Cluster-sized shuffle partition count (scale.py)."""
+    from ..functions.scale import default_partitions
+
+    return default_partitions(None, floor)
+
+
 def _rd():
     import ray.data as rd
 
@@ -46,8 +60,17 @@ def _rd():
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return _rd().read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                              columns=columns)
+    # Pass a projected, METADATA-FREE schema: the testdata parquet carries
+    # pandas metadata, and any schema with metadata is unhashable to Ray's
+    # block-schema dedup (pa.Schema.__hash__ chokes on the dict) — every
+    # downstream merge then warns "Failed to hash the schemas" per block.
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    full = pq.read_schema(path).remove_metadata()
+    schema = (pa.schema([full.field(c) for c in columns])
+              if columns is not None else full)
+    return _rd().read_parquet(path, columns=columns, schema=schema)
 
 
 def _round_cols(tbl: pa.Table, spec: dict[str, int]) -> pa.Table:
@@ -328,7 +351,7 @@ def q_stage_provenance(sf_dir: str):
             prov.wrap_class("rule_route", RuleEngineStage,
                             fn_constructor_args=(_RULE_SPEC,),
                             route_col="route"),
-            batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool())
         out.count()  # drive the stream through the instrumented stage
         rep = prov.report()
     finally:
@@ -390,7 +413,7 @@ def q_cdc_events_latest(sf_dir: str):
                                 zero_copy_batch=True)
     root = tempfile.mkdtemp(prefix="cdc_events_", dir="/tmp")
     lake = LakeTable(root, key_cols=("user_id",), seq_col="event_id",
-                     op_col="op", num_partitions=16)
+                     op_col="op", num_partitions=_partitions(16))
     def _parity(p):
         def f(batch: pa.Table) -> pa.Table:
             keep = pc.equal(
@@ -456,7 +479,7 @@ def q_cdc_incremental_agg(sf_dir: str):
 
     root = tempfile.mkdtemp(prefix="cdc_matview_", dir="/tmp")
     lake = LakeTable(os.path.join(root, "lake"), key_cols=("user_id",),
-                     seq_col="event_id", op_col="op", num_partitions=16)
+                     seq_col="event_id", op_col="op", num_partitions=_partitions(16))
     try:
         view = IncrementalAggView(lake, os.path.join(root, "view"),
                                   name="by_type", group_cols=["event_type"],
@@ -553,7 +576,7 @@ def q_cdc_documents_snapshot(sf_dir: str):
     framed = docs.map_batches(frame, batch_format="pyarrow", zero_copy_batch=True)
     root = tempfile.mkdtemp(prefix="cdc_docs_", dir="/tmp")
     lake = LakeTable(root, key_cols=("repo", "path"), seq_col="seq",
-                     op_col="op", num_partitions=16)
+                     op_col="op", num_partitions=_partitions(16))
     try:
         lake.apply_epoch(framed, 0)
         final = lake.read_table()
@@ -703,7 +726,7 @@ def revenue_by_nation_pipeline(sf_dir: str, *,
                 )
 
         joined = orders.map_batches(AttachNation, batch_format="pyarrow",
-                                    zero_copy_batch=True, concurrency=2,
+                                    zero_copy_batch=True, concurrency=_pool(),
                                     max_restarts=0)
     else:
         # dimension over budget: partitioned hash join, then the (tiny,
@@ -748,13 +771,72 @@ GROUP BY n_name
 """
 
 
-def q_revenue_by_priority(sf_dir: str):
-    """Large-large hash join (Dataset.join, hash-partitioned on the key)."""
+def q_revenue_by_priority(sf_dir: str, *,
+                          max_broadcast_bytes: int | None = None):
+    """Fact-side aggregate with a byte-guarded broadcast dimension: the
+    (o_orderkey -> priority code) map ships ONCE via ray.put and every
+    lineitem batch reduces to <= |priorities| partial-sum rows (bincount),
+    so the only exchange is ~5 rows per batch. When the dimension
+    projection exceeds the broadcast budget (the 100-TB failure mode for
+    a broadcast), the pipeline falls back to the partitioned hash join."""
+    import pyarrow.parquet as pq
+    import ray
     from ray.data.aggregate import Sum
 
+    from ..stages.joins import (DEFAULT_BROADCAST_BUDGET,
+                                check_broadcast_budget,
+                                parquet_projected_bytes)
+
+    if max_broadcast_bytes is None:
+        max_broadcast_bytes = DEFAULT_BROADCAST_BUDGET
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    ord_path = os.path.join(sf_dir, "orders.parquet")
+    dim_bytes = parquet_projected_bytes(
+        ord_path, ["o_orderkey", "o_orderpriority"])
+    if check_broadcast_budget(dim_bytes, what="orders priority dimension",
+                              max_broadcast_bytes=max_broadcast_bytes):
+        od = pq.read_table(ord_path,
+                           columns=["o_orderkey", "o_orderpriority"])
+        okey = np.asarray(od["o_orderkey"]).astype(np.int64)
+        pr = od["o_orderpriority"].combine_chunks().dictionary_encode()
+        codes = np.asarray(pr.indices).astype(np.int64)
+        cats = pr.dictionary.to_pylist()
+        order_o = np.argsort(okey)
+        lookup_ref = ray.put((okey[order_o], codes[order_o], len(cats)))
 
+        class RevenuePartials:
+            def __init__(self):
+                self.ok, self.code, self.ncat = ray.get(lookup_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                disc = np.asarray(pc.multiply(
+                    batch["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), batch["l_discount"])))
+                k = np.asarray(batch["l_orderkey"])
+                idx = np.clip(np.searchsorted(self.ok, k), 0,
+                              len(self.ok) - 1)
+                hit = self.ok[idx] == k  # inner-join semantics
+                sums = np.bincount(self.code[idx][hit],
+                                   weights=disc[hit], minlength=self.ncat)
+                return pa.table({
+                    "code": pa.array(np.arange(self.ncat, dtype=np.int64)),
+                    "revenue": pa.array(sums, pa.float64())})
+
+        parts = li.map_batches(RevenuePartials, batch_format="pyarrow",
+                               zero_copy_batch=True, concurrency=_pool(),
+                               max_restarts=0)
+        merged = _to_table(parts.groupby("code").aggregate(
+            Sum("revenue", alias_name="revenue")))
+        code_arr = np.asarray(merged["code"])
+        out = pa.table({
+            "o_orderpriority": pa.array([cats[c] for c in code_arr],
+                                        pa.string()),
+            "revenue": merged["revenue"],
+        })
+        return _int_encode(out, {"revenue": 2})
+
+    # dimension over budget: partitioned hash join, then the group-by
     def prep(batch: pa.Table) -> pa.Table:
         disc = pc.multiply(batch["l_extendedprice"],
                            pc.subtract(pa.scalar(1.0), batch["l_discount"]))
@@ -764,7 +846,7 @@ def q_revenue_by_priority(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     joined = li.map_batches(prep, batch_format="pyarrow",
                             zero_copy_batch=True).join(
-        orders, join_type="inner", num_partitions=8,
+        orders, join_type="inner", num_partitions=_partitions(8),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     out = joined.groupby("o_orderpriority").aggregate(
@@ -871,8 +953,9 @@ def q_paragraph_dedup(sf_dir: str):
     from ..stages.dedup import paragraph_dedup
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return paragraph_dedup(docs, sep=" the ", num_partitions=32,
-                           doc_partitions=32)
+    return paragraph_dedup(docs, sep=" the ",
+                           num_partitions=_partitions(32),
+                           doc_partitions=_partitions(32))
 
 
 SQL_PARAGRAPH_DEDUP = """
@@ -962,7 +1045,7 @@ def q_quality_scores(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     tbl = _to_table(docs.map_batches(_QualityRepetitionStage,
                                      batch_format="pyarrow",
-                                     zero_copy_batch=True, concurrency=2))
+                                     zero_copy_batch=True, concurrency=_pool()))
     return _round_cols(tbl, {"alpha_ratio": 6, "digit_ratio": 6,
                              "punct_ratio": 6, "stopword_ratio": 6,
                              "quality_score": 6, "dup_line_frac": 6,
@@ -1076,7 +1159,7 @@ def q_lang_id(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return docs.map_batches(LangIdStage, batch_format="pyarrow",
                             zero_copy_batch=True,
-                            concurrency=2).select_columns(
+                            concurrency=_pool()).select_columns(
         ["doc_id", "lang", "lang_pred"]
     )
 
@@ -1337,7 +1420,7 @@ def q_decontaminate(sf_dir: str):
     out = docs.map_batches(
         ContaminationStage, fn_constructor_args=(ref,),
         fn_constructor_kwargs={"k": 1, "threshold": 0.3},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=2,
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool(),
     ).select_columns(["doc_id", "n_shingles", "n_overlap", "overlap_frac",
                       "contaminated"])
     return _round_cols(_to_table(out), {"overlap_frac": 6})
@@ -1537,7 +1620,7 @@ def q_image_features(sf_dir: str):
     def run(tbl: pa.Table, codec: str):
         media = rd.from_arrow(tbl)
         out = media.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                                batch_size=64, concurrency=2)
+                                batch_size=64, concurrency=_pool())
         return out.map_batches(
             lambda b, c=codec: b.append_column(
                 "codec", pa.array([c] * b.num_rows, pa.string())),
@@ -1559,7 +1642,7 @@ def q_audio_features_wav(sf_dir: str):
     media = rd.from_arrow(synthesize_wav_media(256, seconds=0.25,
                                                sample_rate=8000))
     out = media.map_batches(AudioFeatureStage, batch_format="pyarrow",
-                            batch_size=32, concurrency=2)
+                            batch_size=32, concurrency=_pool())
     out = out.select_columns(["media_id", "sample_rate", "duration_sec"])
     return _round_cols(_to_table(out), {"duration_sec": 6})
 
@@ -1572,9 +1655,10 @@ def q_video_frames_y4m(sf_dir: str):
     rd = _rd()
     media = rd.from_arrow(synthesize_y4m_media(128, width=32, height=24,
                                                n_frames=8))
-    out = media.map_batches(Y4MFrameSampleStage(every=2),
+    out = media.map_batches(Y4MFrameSampleStage,
+                            fn_constructor_kwargs={"every": 2},
                             batch_format="pyarrow", batch_size=16,
-                            concurrency=2)
+                            concurrency=_pool())
     return out.select_columns(["media_id", "frame_idx"])
 
 
@@ -2213,41 +2297,41 @@ CROSS JOIN (SELECT UNNEST([0, 2, 4, 6]) AS frame_idx)
 # fall outside the window. scripts/driver_check.py covers the full
 # surface regardless and its output is committed per round.
 QUERIES = {
-    # -- never driver-verified before round 4 ---------------------------
-    "extract_json_field": q_extract_json_field,
-    "deterministic_sample": q_deterministic_sample,
-    "stratified_sample": q_stratified_sample,
-    "distinct_langs": q_distinct_langs,
-    "quarantine_route": q_quarantine_route,
-    "ngram_jaccard": q_ngram_jaccard,
-    "embedding_neardup": q_embedding_neardup,
-    "sliding_window": q_sliding_window,
-    "value_quantiles": q_value_quantiles,
-    "user_sessions": q_user_sessions,
-    "asof_prior_view": q_asof_prior_view,
-    "range_join_window": q_range_join_window,
-    "lag_lead_events": q_lag_lead_events,
+    # -- changed in round 5 (oracle cast / kernel / fast path / pool) -----
     "running_totals": q_running_totals,
-    "tfidf": q_tfidf,
-    "unigram_logprob": q_unigram_logprob,
-    "inverted_index": q_inverted_index,
-    "rollup_lineitem": q_rollup_lineitem,
-    "pivot_orders": q_pivot_orders,
-    "top3_orders_per_priority": q_top3_orders_per_priority,
-    # -- new or output-changed in round 4 --------------------------------
-    "render_define_stop": q_render_define_stop,
-    "token_counts": q_token_counts,
+    "simhash_pairs": q_simhash_pairs,
+    "fingerprints": q_fingerprints,
+    "approx_distinct_users": q_approx_distinct,
+    "approx_top_tokens": q_approx_top_tokens,
+    "revenue_by_priority": q_revenue_by_priority,
+    "video_frames_y4m": q_video_frames_y4m,
+    "value_quantiles": q_value_quantiles,
+    # -- outside the driver's 50-entry window in round 4 ------------------
+    "chunk_text": q_chunk_text,
+    "blocklist_filter": q_blocklist_filter,
+    "corpus_pipeline": q_corpus_pipeline,
+    "decontaminate": q_decontaminate,
+    "minhash_dedup": q_minhash_dedup,
+    "ann_topk": q_ann_topk,
+    "audio_features_wav": q_audio_features_wav,
+    "reserialize_rows": q_reserialize_rows,
+    # -- pool/partition call sites touched in round 5 (same outputs) ------
     "quality_scores": q_quality_scores,
-    "text_clean": q_text_clean,
+    "lang_id": q_lang_id,
+    "rule_route": q_rule_route,
+    "revenue_by_nation": q_revenue_by_nation,
+    "image_features": q_image_features,
+    "paragraph_dedup": q_paragraph_dedup,
+    "embedding_neardup": q_embedding_neardup,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
-    "image_features": q_image_features,
+    "exact_dedup": q_exact_dedup,
     # -- reference-parity core (driver-verified every round) -------------
     "split_fields": q_split_fields,
     "render_template": q_render_template,
     "render_foreach": q_render_foreach,
     "render_macro": q_render_macro,
-    "rule_route": q_rule_route,
+    "render_define_stop": q_render_define_stop,
     "rule_detailed": q_rule_detailed,
     "rule_geonames": q_rule_geonames,
     "stage_provenance": q_stage_provenance,
@@ -2258,28 +2342,29 @@ QUERIES = {
     "cdc_documents_snapshot": q_cdc_documents_snapshot,
     "q1_pricing_summary": q_q1_pricing_summary,
     "top10_orders": q_top10_orders,
-    "revenue_by_nation": q_revenue_by_nation,
-    "revenue_by_priority": q_revenue_by_priority,
     "events_by_type": q_events_by_type,
     "events_hourly_window": q_events_hourly_window,
-    "exact_dedup": q_exact_dedup,
-    "paragraph_dedup": q_paragraph_dedup,
     "top_tokens": q_top_tokens,
-    "lang_id": q_lang_id,
-    # -- tail: driver-verified in r1-r3 and/or pytest-pinned no_oracle ----
-    "chunk_text": q_chunk_text,
-    "blocklist_filter": q_blocklist_filter,
-    "corpus_pipeline": q_corpus_pipeline,
-    "decontaminate": q_decontaminate,
-    "minhash_dedup": q_minhash_dedup,
-    "simhash_pairs": q_simhash_pairs,
-    "ann_topk": q_ann_topk,
-    "approx_top_tokens": q_approx_top_tokens,
-    "fingerprints": q_fingerprints,
-    "approx_distinct_users": q_approx_distinct,
-    "audio_features_wav": q_audio_features_wav,
-    "video_frames_y4m": q_video_frames_y4m,
-    "reserialize_rows": q_reserialize_rows,
+    "token_counts": q_token_counts,
+    "text_clean": q_text_clean,
+    "rollup_lineitem": q_rollup_lineitem,
+    "pivot_orders": q_pivot_orders,
+    "top3_orders_per_priority": q_top3_orders_per_priority,
+    # -- tail: r4 driver-green and untouched this round -------------------
+    "extract_json_field": q_extract_json_field,
+    "deterministic_sample": q_deterministic_sample,
+    "stratified_sample": q_stratified_sample,
+    "distinct_langs": q_distinct_langs,
+    "quarantine_route": q_quarantine_route,
+    "ngram_jaccard": q_ngram_jaccard,
+    "sliding_window": q_sliding_window,
+    "user_sessions": q_user_sessions,
+    "asof_prior_view": q_asof_prior_view,
+    "range_join_window": q_range_join_window,
+    "lag_lead_events": q_lag_lead_events,
+    "tfidf": q_tfidf,
+    "unigram_logprob": q_unigram_logprob,
+    "inverted_index": q_inverted_index,
 }
 
 ORACLE_SQL = {

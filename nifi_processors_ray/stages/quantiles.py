@@ -31,7 +31,8 @@ def _q_cols(qs) -> list[str]:
 
 def grouped_quantiles(ds, *, group_col: str, value_col: str,
                       qs: tuple[float, ...] = (0.5, 0.9, 0.99),
-                      max_group_rows: int | None = None):
+                      max_group_rows: int | None = None,
+                      small_bytes: int | None = None):
     """Exact per-group quantiles (linear interpolation on (n-1)*q, the
     numpy default == DuckDB ``quantile_cont``). Nulls are ignored."""
     qs = tuple(qs)
@@ -68,7 +69,8 @@ def grouped_quantiles(ds, *, group_col: str, value_col: str,
 
     from .similarity import _try_gather_small
 
-    small = _try_gather_small(ds)
+    small = _try_gather_small(
+        ds, small_bytes) if small_bytes is not None else _try_gather_small(ds)
     if small is not None:
         if group_col not in small.column_names:
             return ds  # zero rows with unrecoverable schema: pass through

@@ -117,12 +117,50 @@ def _rank_topk(qid: np.ndarray, vid: np.ndarray, sc: np.ndarray, k: int
 SMALL_CORPUS_BYTES = 64 << 20
 
 
+def _estimated_input_bytes(ds) -> "int | None":
+    """Metadata-only size estimate of the dataset's READ inputs (no
+    execution): sum of each read op's datasource estimate. None when the
+    plan has no estimable reads (from_arrow lineage, internal API drift).
+    This is the size BEFORE any downstream projection — an upper bound on
+    nothing and a lower bound on nothing either in general, but when even
+    the raw inputs are orders of magnitude over a byte budget the peek is
+    hopeless and can be skipped."""
+    try:
+        total, found = 0, False
+        seen = set()
+        stack = [ds._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            if id(op) in seen:
+                continue
+            seen.add(id(op))
+            src = getattr(op, "_datasource", None)
+            if src is not None:
+                est = src.estimate_inmemory_data_size()
+                if est is not None:
+                    total += int(est)
+                    found = True
+            stack.extend(getattr(op, "input_dependencies", ()))
+        return total if found else None
+    except Exception:  # pragma: no cover - internal-API drift
+        return None
+
+
 def _try_gather_small(ds, budget_bytes: int = SMALL_CORPUS_BYTES):
     """Streaming peek: if the dataset fits ``budget_bytes``, return it as
     one Arrow table (the data is already on the driver — nothing extra is
     paid); else None, and the caller runs the distributed path (which
-    re-executes; the abandoned peek's cost is bounded by the budget)."""
+    re-executes; the abandoned peek's cost is bounded by the budget).
+
+    Before peeking, a metadata-only short-circuit skips the peek entirely
+    when the plan's raw READ inputs are >=64x over budget — downstream
+    stages can legitimately project a wide input down to sketch-sized
+    columns (the simhash path gathers 16 bytes/row), so only a hopeless
+    margin disables the fast path without executing anything."""
     if budget_bytes <= 0:
+        return None
+    est = _estimated_input_bytes(ds)
+    if est is not None and est > 64 * budget_bytes:
         return None
     tabs, total = [], 0
     for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):

@@ -48,21 +48,36 @@ def _hll_partial(batch: pa.Table, col: str, p: int) -> pa.Table:
                      "rank": pa.array(k[last])})
 
 
-def approx_distinct(ds, col: str, *, p: int = 12) -> float:
+def approx_distinct(ds, col: str, *, p: int = 12,
+                    small_bytes: int | None = None) -> float:
     """Approximate COUNT(DISTINCT col) via HyperLogLog with ``m = 2^p``
     registers (standard error ~= 1.04/sqrt(m); ~1.6% at the default
-    p=12). Returns the corrected estimate as a float."""
+    p=12). Returns the corrected estimate as a float.
+
+    The per-batch partials are summary-sized (<= m rows each); under the
+    standard 64 MB byte guard they merge on the driver with a vectorized
+    per-register max instead of paying a Ray sort-shuffle for kilobytes.
+    Past the guard the distributed groupby merge runs unchanged."""
     from ray.data.aggregate import Max
 
+    from .similarity import _try_gather_small
+
     m = 1 << p
-    merged = gather_table(
-        ds.map_batches(lambda b: _hll_partial(b, col, p),
-                       batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("register")
-        .aggregate(Max("rank", alias_name="rank"))
-    )
+    partials = ds.map_batches(lambda b: _hll_partial(b, col, p),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    small = _try_gather_small(
+        partials, (64 << 20) if small_bytes is None else small_bytes)
     regs = np.zeros(m, dtype=np.int64)
-    regs[np.asarray(merged["register"])] = np.asarray(merged["rank"])
+    if small is not None:
+        if small.num_rows:
+            np.maximum.at(regs, np.asarray(small["register"], np.int64),
+                          np.asarray(small["rank"], np.int64))
+    else:
+        merged = gather_table(
+            partials.groupby("register")
+            .aggregate(Max("rank", alias_name="rank"))
+        )
+        regs[np.asarray(merged["register"])] = np.asarray(merged["rank"])
     alpha = 0.7213 / (1 + 1.079 / m)
     est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
     zeros = int((regs == 0).sum())
@@ -72,7 +87,8 @@ def approx_distinct(ds, col: str, *, p: int = 12) -> float:
 
 
 def approx_heavy_hitters(ds, col: str, *, k: int = 20,
-                         capacity: int | None = None):
+                         capacity: int | None = None,
+                         small_bytes: int | None = None):
     """Approximate top-k frequent values (Misra-Gries / space-saving
     family): each batch reduces to at most ``capacity`` (value,
     deficient-count) rows — exact batch counts minus the (capacity+1)-th
@@ -107,9 +123,26 @@ def approx_heavy_hitters(ds, col: str, *, k: int = 20,
                              "_n": pa.array(adj[pos])})
         return pa.table({col: vc.field("values"), "_n": pa.array(counts)})
 
-    merged = (ds.map_batches(partial, batch_format="pyarrow",
-                             zero_copy_batch=True)
-              .groupby(col)
-              .aggregate(Sum("_n", alias_name="est_count")))
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # Partials are <= `cap` rows per batch — summary-sized. Merge on the
+    # driver under the standard byte guard (Arrow hash-groupby sum), with
+    # the distributed sort-shuffle groupby kept as the over-budget path.
+    from .similarity import _try_gather_small
+
+    small = _try_gather_small(
+        partials, (64 << 20) if small_bytes is None else small_bytes)
+    if small is not None:
+        agg = pa.TableGroupBy(small, col).aggregate([("_n", "sum")])
+        merged_t = pa.table({col: agg[col],
+                             "est_count": agg["_n_sum"].cast(pa.int64())})
+        order = pc.sort_indices(
+            merged_t, sort_keys=[("est_count", "descending"),
+                                 (col, "ascending")])
+        return merged_t.take(order[:k])
+
+    merged = partials.groupby(col).aggregate(
+        Sum("_n", alias_name="est_count"))
     return merged.sort(["est_count", col],
                        descending=[True, False]).limit(k)

@@ -295,11 +295,13 @@ def _cached_parquet_file(path: str) -> pq.ParquetFile:
         pf = pq.ParquetFile(path)
         _PF_CACHE[key] = pf
         while len(_PF_CACHE) > _PF_CACHE_MAX:
-            old_key = next(iter(_PF_CACHE))
-            try:
-                _PF_CACHE.pop(old_key).close()
-            except Exception:  # pragma: no cover - double-close race
-                pass
+            # evict the LEAST-recently-used entry; do NOT close() it —
+            # another caller may still hold the handle (threaded actor
+            # use), so let GC close it when the last reference drops
+            _PF_CACHE.pop(next(iter(_PF_CACHE)))
+    else:
+        # refresh recency (true LRU, not FIFO): hot fragments survive
+        _PF_CACHE[key] = _PF_CACHE.pop(key)
     return pf
 
 
@@ -536,7 +538,22 @@ class LakeTable:
         if hit is not None and hit[0] == mt:
             return hit[1]
         names = os.listdir(d)
-        cache[d] = (mt, names)
+        # git's "racily clean" guard: a cross-process writer committing in
+        # the SAME filesystem timestamp tick as our stat would not bump
+        # the mtime we cache — a polling consumer could then miss the last
+        # epoch(s) forever. Only cache when (a) the dir mtime did not move
+        # while we listed and (b) it is strictly older than now minus the
+        # coarsest plausible fs tick (10 ms); otherwise serve uncached.
+        import time as _time
+
+        try:
+            mt2 = os.stat(d).st_mtime_ns
+        except FileNotFoundError:
+            return names
+        if mt2 == mt and mt < _time.time_ns() - 10_000_000:
+            cache[d] = (mt, names)
+        else:
+            cache.pop(d, None)
         return names
 
     def _invalidate_scan_cache(self) -> None:

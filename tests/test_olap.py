@@ -59,3 +59,15 @@ def test_pivot_agg_matches_bruteforce():
         assert abs(r["sum_v_p"] - want.loc[r["a"], "p"]) < 1e-9
         assert abs(r["sum_v_q"] - want.loc[r["a"], "q"]) < 1e-9
         assert r["sum_v_absent"] == 0.0
+
+
+def test_revenue_by_priority_broadcast_equals_join_fallback():
+    """The byte-guarded broadcast-dimension path and the forced hash-join
+    fallback (max_broadcast_bytes=0) return identical tables."""
+    from nifi_processors_ray.pipelines.registry import q_revenue_by_priority
+
+    sf = "/root/testdata/sf0.001"
+    a = q_revenue_by_priority(sf).sort_by("o_orderpriority")
+    b = q_revenue_by_priority(
+        sf, max_broadcast_bytes=0).sort_by("o_orderpriority")
+    assert a.equals(b)

@@ -57,3 +57,28 @@ def test_approx_heavy_hitters_recovers_zipf_head():
     for v, est in zip(out["v"], out["est_count"]):
         assert est <= true[v]
         assert true[v] - est <= n / (64 + 1) * 8  # <= per-batch bound x batches
+
+
+def test_hll_fast_path_equals_distributed():
+    """The byte-guarded driver merge and the forced-distributed groupby
+    merge produce the identical estimate (register-max is associative)."""
+    vals = pa.table({"u": [f"k{i % 777}" for i in range(10_000)]})
+    ds = rd.from_arrow(vals).repartition(8)
+    fast = approx_distinct(ds, "u", p=10)
+    dist = approx_distinct(ds, "u", p=10, small_bytes=0)
+    assert fast == dist
+
+
+def test_heavy_hitters_fast_path_equals_distributed():
+    from nifi_processors_ray.stages.sketches import approx_heavy_hitters
+
+    rng = np.random.default_rng(5)
+    pop = np.repeat(np.arange(300), (3000 / (np.arange(300) + 1)).astype(int))
+    rng.shuffle(pop)
+    ds = rd.from_arrow(
+        pa.table({"v": [f"t{int(i)}" for i in pop]})).repartition(6)
+    fast = approx_heavy_hitters(ds, "v", k=12, capacity=64).to_pandas()
+    dist = approx_heavy_hitters(ds, "v", k=12, capacity=64,
+                                small_bytes=0).to_pandas()
+    assert fast["v"].tolist() == dist["v"].tolist()
+    assert fast["est_count"].tolist() == dist["est_count"].tolist()
