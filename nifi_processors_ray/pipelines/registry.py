@@ -1612,7 +1612,8 @@ def q_image_features(sf_dir: str):
     Decoded ids/dimensions are deterministic, so the DuckDB twin states
     them exactly from range(); pixel/feature VALUES stay pinned in
     pytest (SQL cannot decode)."""
-    from ..stages.multimodal import (ImageFeatureStage, synthesize_png_media,
+    from ..stages.multimodal import (ImageFeatureStage, synthesize_jpeg_media,
+                                     synthesize_png_media,
                                      synthesize_ppm_media)
 
     rd = _rd()
@@ -1628,7 +1629,8 @@ def q_image_features(sf_dir: str):
 
     ppm = run(synthesize_ppm_media(512, width=32, height=24), "ppm")
     png = run(synthesize_png_media(256, width=32, height=24), "png")
-    return ppm.union(png).select_columns(
+    jpg = run(synthesize_jpeg_media(128, width=32, height=24), "jpeg")
+    return ppm.union(png).union(jpg).select_columns(
         ["media_id", "codec", "decoded_width", "decoded_height"])
 
 
@@ -2274,7 +2276,8 @@ SQL_IMAGE_FEATURES = """
 SELECT media_id, codec,
        CAST(32 AS BIGINT) AS decoded_width, CAST(24 AS BIGINT) AS decoded_height
 FROM (SELECT UNNEST(range(512)) AS media_id, 'ppm' AS codec
-      UNION ALL SELECT UNNEST(range(256)), 'png')
+      UNION ALL SELECT UNNEST(range(256)), 'png'
+      UNION ALL SELECT UNNEST(range(128)), 'jpeg')
 """
 
 SQL_AUDIO_FEATURES = """

@@ -7,6 +7,9 @@ stdlib, no codec libraries):
 * **PNG**: stdlib ``zlib`` inflate + numpy scanline unfilter (all five
   filter types) — ``decode_png`` / ``encode_png``; 8-bit gray/RGB/RGBA,
   no interlace; anything else raises loudly.
+* **JPEG**: baseline sequential JFIF (ITU-T T.81) — Huffman entropy
+  decode, dequantize, vectorized 8x8 IDCT, 4:4:4/4:2:0 chroma — in
+  ``stages/jpeg.py``; progressive/arithmetic raise loudly.
 * **WAV (PCM16)**: RIFF chunk walk — ``decode_wav`` / ``encode_wav``.
 * **Y4M (YUV4MPEG2 4:2:0)**: ``decode_y4m`` / ``encode_y4m`` + real frame
   sampling.
@@ -337,11 +340,47 @@ def synthesize_png_media(n: int, *, width: int = 32, height: int = 24,
     )
 
 
+def synthesize_jpeg_media(n: int, *, width: int = 32, height: int = 24,
+                          seed: int = 5, quality: int = 85,
+                          subsampling: str = "420") -> pa.Table:
+    """Deterministic REAL baseline JPEGs (same gradient family as the PPM
+    synthesizer; 4:2:0 by default — what real corpora carry) in the
+    MEDIA_SCHEMA layout — decodable by any JPEG reader."""
+    from .jpeg import encode_jpeg
+
+    ids = np.arange(n, dtype=np.int64)
+    h64 = stable_hash64(pa.array(ids + seed * 1_000_003))
+    yy, xx = np.mgrid[0:height, 0:width]
+    payloads = []
+    for i in range(n):
+        phase = int(h64[i] % np.uint64(251))
+        r = ((xx * 255) // max(1, width - 1) + phase) % 256
+        g = ((yy * 255) // max(1, height - 1) + phase // 2) % 256
+        b = ((xx + yy + phase) * 3) % 256
+        payloads.append(encode_jpeg(
+            np.stack([r, g, b], axis=-1).astype(np.uint8),
+            quality=quality, subsampling=subsampling))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/jpeg"] * n, pa.string()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
 def decode_image(data: bytes) -> np.ndarray:
-    """Format-dispatching REAL image decode (PPM or PNG by magic bytes) ->
-    (H, W, 3) uint8 RGB. Grayscale expands, RGBA drops alpha."""
+    """Format-dispatching REAL image decode (PPM, PNG or baseline JPEG by
+    magic bytes) -> (H, W, 3) uint8 RGB. Grayscale expands, RGBA drops
+    alpha."""
     if data.startswith(b"P6"):
         return decode_ppm(data)
+    if data.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     if data.startswith(_PNG_SIG):
         px = decode_png(data)
         if px.ndim == 2:

@@ -202,6 +202,10 @@ def test_png_roundtrip_and_all_filter_types():
     with _pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"JFIF....")
     with _pytest.raises(ValueError, match="unrecognized image"):
+        decode_image(b"GIF89a....")
+    # SOI magic now dispatches to the real JPEG decoder, which rejects
+    # truncation loudly instead of mis-decoding
+    with _pytest.raises(ValueError, match="truncated JPEG"):
         decode_image(b"\xff\xd8\xff")
 
 
