@@ -253,6 +253,44 @@ FROM documents
 """
 
 
+def q_render_evaluate(sf_dir: str):
+    """O2e closure (round-4 verdict 'What's missing' #1): ``#evaluate``
+    renders a RUNTIME string as a template — here a per-language template
+    column (few distinct values, the realistic shape), executed by
+    distinct-template dictionary grouping with an actor-level compile
+    cache (stages/render.py _render_evaluate; MergeTemplate.java:57-59
+    delegates to full Velocity, which supports #evaluate)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def add_tpl(batch: pa.Table) -> pa.Table:
+        tpl = pc.if_else(
+            pc.equal(batch["lang"], "en"),
+            pa.scalar("en:$source#$doc_id", pa.string()),
+            pc.if_else(pc.equal(batch["lang"], "de"),
+                       pa.scalar("de<$doc_id>", pa.string()),
+                       pa.scalar("#if($doc_id > 100)x$lang#else y#end",
+                                 pa.string())))
+        return batch.append_column("tpl", tpl)
+
+    stage = RenderTemplateStage("#evaluate($tpl)", output_col="content",
+                                keep_input_cols=True)
+    return (docs.map_batches(add_tpl, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .map_batches(stage, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .select_columns(["doc_id", "content"]))
+
+
+SQL_RENDER_EVALUATE = """
+SELECT doc_id,
+       CASE WHEN lang = 'en' THEN 'en:' || source || '#' || CAST(doc_id AS VARCHAR)
+            WHEN lang = 'de' THEN 'de<' || CAST(doc_id AS VARCHAR) || '>'
+            WHEN doc_id > 100 THEN 'x' || lang
+            ELSE ' y' END AS content
+FROM documents
+"""
+
+
 _RULE_SPEC = {
     "groups": [
         {"id": "G1", "subgroups": [
@@ -2300,6 +2338,8 @@ CROSS JOIN (SELECT UNNEST([0, 2, 4, 6]) AS frame_idx)
 # fall outside the window. scripts/driver_check.py covers the full
 # surface regardless and its output is committed per round.
 QUERIES = {
+    # -- NEW in round 5 ----------------------------------------------------
+    "render_evaluate": q_render_evaluate,
     # -- changed in round 5 (oracle cast / kernel / fast path / pool) -----
     "running_totals": q_running_totals,
     "simhash_pairs": q_simhash_pairs,
@@ -2392,6 +2432,7 @@ ORACLE_SQL = {
     "pivot_orders": SQL_PIVOT_ORDERS,
     "top3_orders_per_priority": SQL_TOP3_ORDERS_PER_PRIORITY,
     "render_define_stop": SQL_RENDER_DEFINE_STOP,
+    "render_evaluate": SQL_RENDER_EVALUATE,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
     "text_clean": SQL_TEXT_CLEAN,

@@ -53,11 +53,14 @@ halt mask: output before the directive is kept, output after it renders
 as ""), which matches Velocity's semantics row-by-row. ``#break`` outside
 a loop is a compile-time error (as in Velocity).
 
-The one remaining directive, ``#evaluate`` (render a RUNTIME string as a
-template — per-row dynamic compilation), is fundamentally incompatible
-with compile-once/vectorized execution and raises ``ValueError`` at
-template-compile time — a loud rejection, never silently rendering the
-directive text as a literal. A ``#``+word that is NOT a Velocity
+``#evaluate($ref)`` (render a RUNTIME string as a template) executes by
+DISTINCT template value: the dynamic strings dictionary-encode per batch,
+each distinct template compiles once (actor-level LRU cache) and renders
+vectorized over exactly its rows — the compile-once model survives
+because real dynamic templates are few (per-tenant/per-type); a batch of
+per-row-UNIQUE templates trips a loud cap instead of degrading silently.
+A literal argument ``#evaluate("...")`` compiles statically at
+template-compile time. A ``#``+word that is NOT a Velocity
 directive name ('Issue #123') is literal text, as in Velocity proper.
 Deviations: ``#set`` inside an ``#if``/``#foreach`` body is branch-local
 (bodies evaluate vectorized for every row, so a conditional global
@@ -81,15 +84,17 @@ _PLACEHOLDER = re.compile(r"\$(?:\{([A-Za-z_][\w.-]*)\}|([A-Za-z_][\w]*))")
 _DIRECTIVE = re.compile(r"#(\w+)")
 _SUPPORTED_DIRECTIVES = {"if", "elseif", "else", "end", "set", "foreach",
                          "macro", "include", "parse", "define", "stop",
-                         "break"}
+                         "break", "evaluate"}
 # The actual Velocity directive vocabulary: only these names are directives.
 # Any other '#'+word text ('Issue #123', 'page#section') is literal — the
 # reference (full Velocity) renders unknown directive-like text literally,
 # so raising on it would reject valid templates. #evaluate (compile a
-# RUNTIME string as a template) stays loudly rejected: per-row dynamic
-# compilation is fundamentally incompatible with compile-once vectorized
-# rendering.
-_VELOCITY_DIRECTIVES = _SUPPORTED_DIRECTIVES | {"evaluate"}
+# RUNTIME string as a template) executes by DISTINCT template value: each
+# batch dictionary-encodes the dynamic strings, compiles each distinct
+# template once (LRU-cached on the actor), and renders it vectorized over
+# just its rows — per-row compilation only ever happens for per-row-unique
+# templates, exactly the cost full Velocity pays for every row.
+_VELOCITY_DIRECTIVES = _SUPPORTED_DIRECTIVES
 _COND = re.compile(
     r"^\s*(!)?\s*\$\{?([A-Za-z_][\w.-]*)\}?\s*"
     r"(?:(==|!=|>=|<=|>|<)\s*(.+?))?\s*$")
@@ -259,8 +264,18 @@ def _tokenize(template: str, template_root: str | None,
                 else:
                     tokens.extend(_tokenize(text, template_root, depth + 1))
             pos = end
-        elif name in ("if", "elseif", "set", "foreach", "define"):
+        elif name in ("if", "elseif", "set", "foreach", "define",
+                      "evaluate"):
             arg, end = _paren_arg(template, m.end())
+            if name == "evaluate":
+                qm = _QUOTED_FILE.fullmatch(arg.strip())
+                if qm:
+                    # literal-string argument: the template is known at
+                    # compile time — splice it in compiled (static) form
+                    tokens.extend(_tokenize(qm.group(1) or qm.group(2) or "",
+                                            template_root, depth + 1))
+                    pos = end
+                    continue
             tokens.append(("#" + name, arg))
             pos = end
         else:
@@ -332,6 +347,14 @@ def compile_template(template: str, *,
                 if stop != "#end":
                     raise ValueError("#define without matching #end")
                 nodes.append(("define", m2.group(1) or m2.group(2), body))
+            elif kind == "#evaluate":
+                m2 = _PLACEHOLDER.fullmatch(tokens[i][1].strip())
+                if not m2:
+                    raise ValueError(
+                        "#evaluate needs a single $reference (or a quoted "
+                        f"literal) argument, got {tokens[i][1]!r}")
+                nodes.append(("evaluate", m2.group(1) or m2.group(2)))
+                i += 1
             elif kind == "#stop":
                 nodes.append(("stop",))
                 i += 1
@@ -369,6 +392,7 @@ class RenderTemplateStage:
     ):
         self.segments = compile_template(template,
                                          template_root=template_root)
+        self.template_root = template_root  # #evaluate'd text may #parse
         self.filter = re.compile(attribute_filter)
         self.output_col = output_col
         self.strip_newlines = strip_newlines
@@ -472,6 +496,87 @@ class RenderTemplateStage:
         finally:
             self._define_depth -= 1
 
+    #: distinct dynamic templates allowed per batch before #evaluate raises
+    #: (a safety valve against per-row-unique templates, which would pay a
+    #: compile per row — full Velocity's cost, but loud here)
+    MAX_EVAL_TEMPLATES = 4096
+    #: compiled-template LRU capacity per actor
+    _EVAL_CACHE_MAX = 1024
+
+    def _render_evaluate(self, name: str, batch: pa.Table, visible: set,
+                         vars: dict, n: int) -> pa.Array:
+        """``#evaluate($ref)``: render each row's RUNTIME string as a
+        template. Vectorized by DISTINCT template value — dictionary-encode
+        the strings, compile each distinct template once (actor-level LRU),
+        render it over just its rows, scatter back. Like a ``#define``
+        body, the evaluated template runs with a fresh halt state (a
+        ``#stop`` inside halts only the evaluated text — documented
+        deviation, same family as the branch-local ``#set``)."""
+        self._eval_depth = getattr(self, "_eval_depth", 0) + 1
+        try:
+            if self._eval_depth > 8:
+                raise ValueError(
+                    "#evaluate nesting exceeds 8 — does the evaluated "
+                    "template evaluate itself?")
+            col = self._resolve(name, batch, visible, vars, raw=True)
+            if col is None:
+                return pa.nulls(n, pa.string()).fill_null("")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if not (pa.types.is_string(col.type)
+                    or pa.types.is_large_string(col.type)):
+                col = pc.cast(col, pa.string())
+            col = col.fill_null("")
+            dictty = col.dictionary_encode()
+            templates = dictty.dictionary.to_pylist()
+            codes = np.asarray(dictty.indices)
+            if len(templates) > self.MAX_EVAL_TEMPLATES:
+                raise ValueError(
+                    f"#evaluate saw {len(templates)} distinct dynamic "
+                    f"templates in one batch (cap {self.MAX_EVAL_TEMPLATES})"
+                    " — per-row-unique templates defeat compile-once; "
+                    "precompute the rendered column upstream instead")
+            cache = getattr(self, "_eval_cache", None)
+            if cache is None:
+                cache = self._eval_cache = {}
+            out = np.empty(n, dtype=object)
+            for j, tpl in enumerate(templates):
+                rows = np.flatnonzero(codes == j)
+                if not len(rows):
+                    continue
+                if tpl == "":
+                    out[rows] = ""
+                    continue
+                compiled = cache.get(tpl)
+                if compiled is None:
+                    compiled = compile_template(
+                        tpl, template_root=self.template_root)
+                    cache[tpl] = compiled
+                    while len(cache) > self._EVAL_CACHE_MAX:
+                        cache.pop(next(iter(cache)))
+                else:
+                    cache[tpl] = cache.pop(tpl)  # LRU refresh
+                idx = pa.array(rows)
+                sub_batch = batch.take(idx)
+                sub_vars = {}
+                for k, v in vars.items():
+                    if isinstance(v, tuple) and v and v[0] == "__vtl_define__":
+                        sub_vars[k] = v
+                    else:
+                        vv = (v.combine_chunks()
+                              if isinstance(v, pa.ChunkedArray) else v)
+                        sub_vars[k] = vv.take(idx)
+                sub = self._render_nodes(compiled, sub_batch, visible,
+                                         sub_vars, len(rows))
+                out[rows] = sub.to_numpy(zero_copy_only=False)
+            # rows of halted/unmatched templates stay "" by construction
+            mask_unset = np.array([v is None for v in out])
+            if mask_unset.any():
+                out[mask_unset] = ""
+            return pa.array(out, pa.string())
+        finally:
+            self._eval_depth -= 1
+
     def _render_nodes(self, nodes: list, batch: pa.Table, visible: set,
                       vars: dict, n: int, active: np.ndarray | None = None,
                       state: dict | None = None) -> pa.Array:
@@ -548,6 +653,9 @@ class RenderTemplateStage:
                 emit_post(self._render_foreach(
                     node[1], node[2], node[3], batch, visible, vars, n,
                     active, state))
+            elif kind == "evaluate":
+                emit_post(self._render_evaluate(node[1], batch, visible,
+                                                vars, n))
             else:
                 raise ValueError(f"unexpected template node {kind!r}")
         if not parts:

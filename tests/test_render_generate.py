@@ -143,8 +143,8 @@ def test_velocity_unsupported_directive_raises():
 
     from nifi_processors_ray.stages.render import RenderTemplateStage
 
-    with _pytest.raises(ValueError, match="unsupported Velocity directive"):
-        RenderTemplateStage("#evaluate('$x')")
+    with _pytest.raises(ValueError, match="single .reference"):
+        RenderTemplateStage("#evaluate($x $y)")  # malformed #evaluate arg
     # #include/#parse are supported but need a template root to resolve
     with _pytest.raises(ValueError, match="template_root"):
         RenderTemplateStage("#include('other.vm')")
@@ -381,5 +381,48 @@ def test_velocity_define_stop_break():
     # compile-time rejections unchanged
     with _pytest.raises(ValueError, match="outside a #foreach"):
         RenderTemplateStage("x#break")
-    with _pytest.raises(ValueError, match="unsupported Velocity directive"):
-        RenderTemplateStage('#evaluate("$x")')
+
+
+def test_velocity_evaluate():
+    """O2e closure (round-4 verdict 'What's missing' #1): #evaluate renders
+    a runtime string as a template, vectorized by distinct template value
+    with an actor-level compile cache."""
+    import pytest as _pytest
+
+    t = pa.table({
+        "name": ["ada", "bob", "cy", "dee"],
+        "tpl": ["Hello $name!", "Hi $name...", "Hello $name!", None],
+        "v": [1, 5, 2, 9],
+    })
+    stage = RenderTemplateStage("#evaluate($tpl)", output_col="content",
+                                keep_input_cols=False)
+    assert stage(t)["content"].to_pylist() == [
+        "Hello ada!", "Hi bob...", "Hello cy!", ""]
+
+    # dynamic template with directives inside
+    t2 = t.set_column(1, "tpl",
+                      pa.array(["#if($v > 3)big#else small#end"] * 4))
+    out = RenderTemplateStage("#evaluate($tpl)", output_col="content",
+                              keep_input_cols=False)(t2)
+    assert out["content"].to_pylist() == [" small", "big", " small", "big"]
+
+    # literal argument compiles statically at template-compile time
+    out = RenderTemplateStage('pre #evaluate("[$name]") post',
+                              output_col="content", keep_input_cols=False)(t)
+    assert out["content"].to_pylist()[0] == "pre [ada] post"
+
+    # a #set variable is evaluable, and evaluate works under #if
+    out = RenderTemplateStage(
+        '#set($d = $tpl)#if($v > 3)#evaluate($d)#else-#end',
+        output_col="content", keep_input_cols=False)(t)
+    assert out["content"].to_pylist() == ["-", "Hi bob...", "-", ""]
+
+    # unknown reference renders nothing (Velocity: null -> no output)
+    out = RenderTemplateStage("x#evaluate($nope)y", output_col="content",
+                              keep_input_cols=False)(t)
+    assert out["content"].to_pylist() == ["xy"] * 4
+
+    # self-evaluation trips the depth guard, not a hang
+    t3 = pa.table({"tpl": ["#evaluate($tpl)"]})
+    with _pytest.raises(ValueError, match="nesting exceeds"):
+        RenderTemplateStage("#evaluate($tpl)", output_col="c")(t3)
