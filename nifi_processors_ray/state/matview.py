@@ -91,7 +91,8 @@ class IncrementalAggView:
                  group_cols: list[str], value_col: str | None = None,
                  num_partitions: int | None = None,
                  max_changed_keys: int = 50_000_000,
-                 rows_per_finalize_task: int = 50_000):
+                 rows_per_finalize_task: int = 50_000,
+                 small_bytes: int | None = None):
         self.lake = lake
         self.root = root
         self.name = name
@@ -99,6 +100,10 @@ class IncrementalAggView:
         self.value_col = value_col
         self.max_changed_keys = int(max_changed_keys)
         self.rows_per_finalize_task = int(rows_per_finalize_task)
+        # byte budget for the driver-side small-change fast path in
+        # _compute_delta (None = engine default; 0 disables, forcing the
+        # distributed path — the standard guarded-stage contract)
+        self.small_bytes = small_bytes
         os.makedirs(root, exist_ok=True)
         lake.register_consumer(name)
         self.state = LakeTable(
@@ -210,18 +215,46 @@ class IncrementalAggView:
     def _compute_delta(self, eps: list[int], hi: int) -> None:
         """Write ``delta-<hi>.parquet`` + ``gen-<hi>.json``. MUST run
         before the generation's state epoch is applied (reads old
-        contributions); the gen manifest is the commit point."""
+        contributions); the gen manifest is the commit point.
+
+        Small-change fast path (engine-wide guarded-stage pattern): when
+        the raw change rows fit the byte budget, they gather once on the
+        driver — the changed-key scan, the change-side reduce and the
+        retract/insert finalize then run as single vectorized kernel
+        passes (the SAME kernels as the distributed path, which shards
+        them by key-hash partition), and the per-generation refresh drops
+        from three Ray executions to one pid-pruned state read. Past the
+        budget — or when the filtered state side exceeds it — the
+        distributed pipeline below runs unchanged."""
         import ray
+
+        from ..stages.similarity import SMALL_CORPUS_BYTES, _try_gather_small
 
         keys = list(self.lake.key_cols)
         seq, op = self.lake.seq_col, self.lake.op_col
         group_cols, value_col = self.group_cols, self.value_col
         data_cols = self._data_cols()
         norm_schema = self._norm_schema()
-        kh = self._changed_key_hashes(eps)
+
+        budget = (SMALL_CORPUS_BYTES if self.small_bytes is None
+                  else self.small_bytes)
+        changes_tab = (_try_gather_small(self._changes(eps), budget)
+                       if budget > 0 else None)
+        if changes_tab is not None:
+            red = (latest_by_key(changes_tab, keys, seq)
+                   if changes_tab.num_rows else changes_tab)
+            kh = (np.unique(hash64_columns(red, keys)) if red.num_rows
+                  else np.empty(0, np.uint64))
+            if len(kh) > self.max_changed_keys:
+                raise ValueError(
+                    f"refresh touches more than {self.max_changed_keys} "
+                    "distinct keys — the changed-key broadcast would "
+                    "exceed its byte budget. Refresh in smaller epoch "
+                    "windows, or raise max_changed_keys.")
+        else:
+            kh = self._changed_key_hashes(eps)
         nparts = max(1, min(1024, int(np.ceil(
             max(len(kh), 1) / self.rows_per_finalize_task))))
-        hashes_ref = ray.put(kh)
         touched = {int(p) for p in
                    np.unique(kh % np.uint64(self.state.num_partitions))}
 
@@ -238,38 +271,6 @@ class IncrementalAggView:
             return (t.append_column(
                 _SRC, pa.array(np.full(b.num_rows, src, np.int8)))
                 .append_column(_PART, pa.array(part)))
-
-        class StateFilter:
-            """Filter prior-state batches to (probable) changed keys via
-            searchsorted on the broadcast hash set — loaded once per
-            actor."""
-
-            def __init__(self):
-                self.h = ray.get(hashes_ref)
-
-            def __call__(self, b: pa.Table) -> pa.Table:
-                if b.num_rows == 0 or len(self.h) == 0:
-                    return norm_schema.empty_table()
-                bh = hash64_columns(b, keys)
-                i = np.searchsorted(self.h, bh)
-                i[i == len(self.h)] = 0
-                hit = self.h[i] == bh
-                return norm(b.filter(pa.array(hit)), 0)
-
-        # keep_tombstones: a key deleted at seq S must still BEAT a stale
-        # change upsert with seq < S during winner selection — reading only
-        # live rows would resurrect it. Tombstoned prior rows join the LWW
-        # pool but are never retracted (they contributed nothing).
-        state_rows = self.state.read(
-            pids=touched, columns=self._feed_cols(), drop_meta=False,
-            keep_tombstones=True).map_batches(
-                StateFilter, batch_format="pyarrow", concurrency=(1, 8))
-
-        def change_partial(b: pa.Table) -> pa.Table:
-            return norm(latest_by_key(b, keys, seq), 1)
-
-        change_rows = self._changes(eps).map_batches(
-            change_partial, batch_format="pyarrow", zero_copy_batch=True)
 
         def finalize(group: pa.Table) -> pa.Table:
             """Per key-hash partition: retract every prior-state row,
@@ -302,16 +303,87 @@ class IncrementalAggView:
                 return both
             return _group_sum(both, group_cols)
 
-        union = state_rows.union(change_rows)
-        partials = union.groupby(_PART).map_groups(
-            finalize, batch_format="pyarrow")
-        tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
-        if tabs:
-            delta = _group_sum(
-                pa.concat_tables(tabs, promote_options="default"),
-                group_cols)
-        else:
-            delta = self._empty_agg()
+        delta = None
+        if changes_tab is not None:
+            # ---- driver-side fast path: one pid-pruned state read, all
+            # kernels (searchsorted key filter, LWW reduce, retract/insert
+            # finalize) in single vectorized passes. Hash partitions are a
+            # function of the key, so the whole-set finalize equals the
+            # union of the distributed per-partition results.
+            if len(kh) == 0:
+                delta = self._empty_agg()
+            else:
+                def state_filter_small(b: pa.Table) -> pa.Table:
+                    if b.num_rows == 0:
+                        return norm_schema.empty_table()
+                    bh = hash64_columns(b, keys)
+                    i = np.searchsorted(kh, bh)
+                    i[i == len(kh)] = 0
+                    return norm(b.filter(pa.array(kh[i] == bh)), 0)
+
+                state_tab = _try_gather_small(
+                    self.state.read(
+                        pids=touched, columns=self._feed_cols(),
+                        drop_meta=False, keep_tombstones=True
+                    ).map_batches(state_filter_small,
+                                  batch_format="pyarrow"),
+                    budget)
+                if state_tab is not None:
+                    both = pa.concat_tables(
+                        [state_tab, norm(red, 1)],
+                        promote_options="default")
+                    out = finalize(both)
+                    delta = out if out.num_rows else self._empty_agg()
+                # else: filtered state side over budget — fall through to
+                # the distributed pipeline (kh is already computed)
+
+        if delta is None:
+            hashes_ref = ray.put(kh)
+
+            class StateFilter:
+                """Filter prior-state batches to (probable) changed keys
+                via searchsorted on the broadcast hash set — loaded once
+                per actor."""
+
+                def __init__(self):
+                    self.h = ray.get(hashes_ref)
+
+                def __call__(self, b: pa.Table) -> pa.Table:
+                    if b.num_rows == 0 or len(self.h) == 0:
+                        return norm_schema.empty_table()
+                    bh = hash64_columns(b, keys)
+                    i = np.searchsorted(self.h, bh)
+                    i[i == len(self.h)] = 0
+                    hit = self.h[i] == bh
+                    return norm(b.filter(pa.array(hit)), 0)
+
+            # keep_tombstones: a key deleted at seq S must still BEAT a
+            # stale change upsert with seq < S during winner selection —
+            # reading only live rows would resurrect it. Tombstoned prior
+            # rows join the LWW pool but are never retracted (they
+            # contributed nothing).
+            state_rows = self.state.read(
+                pids=touched, columns=self._feed_cols(), drop_meta=False,
+                keep_tombstones=True).map_batches(
+                    StateFilter, batch_format="pyarrow", concurrency=(1, 8))
+
+            def change_partial(b: pa.Table) -> pa.Table:
+                return norm(latest_by_key(b, keys, seq), 1)
+
+            change_rows = self._changes(eps).map_batches(
+                change_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+            union = state_rows.union(change_rows)
+            partials = union.groupby(_PART).map_groups(
+                finalize, batch_format="pyarrow")
+            tabs = [t for t in ray.get(partials.to_arrow_refs())
+                    if t.num_rows]
+            if tabs:
+                delta = _group_sum(
+                    pa.concat_tables(tabs, promote_options="default"),
+                    group_cols)
+            else:
+                delta = self._empty_agg()
         tmp = self._delta_path(hi) + ".tmp"
         pq.write_table(delta, tmp)
         os.replace(tmp, self._delta_path(hi))

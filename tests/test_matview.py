@@ -147,6 +147,28 @@ def test_matview_crash_resume_every_commit_point(tmp_path):
     assert lake._consumers()["v"] == 2
 
 
+def test_matview_small_fast_path_equals_distributed(tmp_path):
+    """small_bytes=0 forces the distributed delta pipeline; the default
+    driver-side fast path must produce the identical view state across
+    epochs that exercise group moves, deletes, stale replays and
+    tombstone-beats-stale-upsert (the standard guarded-stage equivalence
+    contract)."""
+    lake_a = _lake(tmp_path, "lake_a")
+    lake_b = _lake(tmp_path, "lake_b")
+    fast = IncrementalAggView(lake_a, str(tmp_path / "view_a"), name="v",
+                              group_cols=["lang"], value_col="value")
+    dist = IncrementalAggView(lake_b, str(tmp_path / "view_b"), name="v",
+                              group_cols=["lang"], value_col="value",
+                              small_bytes=0)
+    for e, tbl in enumerate(_toy_epochs()):
+        lake_a.apply_epoch(rd.from_arrow(tbl), e)
+        lake_b.apply_epoch(rd.from_arrow(tbl), e)
+        got_fast = fast.refresh()
+        got_dist = dist.refresh()
+        assert got_fast.equals(got_dist), f"epoch {e}"
+        assert got_fast.equals(_toy_expected(e)), f"epoch {e}"
+
+
 def test_matview_changed_key_broadcast_guard(tmp_path):
     lake = _lake(tmp_path)
     lake.apply_epoch(
