@@ -747,25 +747,49 @@ def revenue_by_nation_pipeline(sf_dir: str, *,
         ckey = np.asarray(cust["c_custkey"]).astype(np.int64)
         cnat = np.asarray(cust["c_nationkey"]).astype(np.int64)
         order_c = np.argsort(ckey)
-        lookup_ref = ray.put((ckey[order_c], cnat[order_c], nk, nname))
+        nnat = len(nk)
+        lookup_ref = ray.put((ckey[order_c], cnat[order_c], nk))
 
-        class AttachNation:
-            def __init__(self):
-                self.ck, self.cn, self.nk, self.nn = ray.get(lookup_ref)
+        def nation_partials(batch: pa.Table) -> pa.Table:
+            # broadcast lookup (ray.put once; per-worker object cache makes
+            # the ray.get zero-copy after the first batch) + per-batch
+            # bincount partials: each batch reduces to <= |nations| rows,
+            # so no per-row n_name column is ever materialized and the
+            # only data movement is nations x batches summary rows
+            ck, cn, nkey = ray.get(lookup_ref)
+            cust_idx = np.searchsorted(ck, np.asarray(batch["o_custkey"]))
+            nat_idx = np.searchsorted(nkey, cn[cust_idx])
+            price = np.asarray(batch["o_totalprice"], dtype=np.float64)
+            return pa.table({
+                "code": pa.array(np.arange(nnat, dtype=np.int64)),
+                "revenue": pa.array(np.bincount(nat_idx, weights=price,
+                                                minlength=nnat)),
+                "n_orders": pa.array(np.bincount(nat_idx, minlength=nnat)
+                                     .astype(np.int64)),
+            })
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                cust_idx = np.searchsorted(self.ck,
-                                           np.asarray(batch["o_custkey"]))
-                nat = self.cn[cust_idx]
-                nat_idx = np.searchsorted(self.nk, nat)
-                names = self.nn[nat_idx]
-                return batch.append_column(
-                    "n_name", pa.array(names, pa.string())
-                )
-
-        joined = orders.map_batches(AttachNation, batch_format="pyarrow",
-                                    zero_copy_batch=True, concurrency=_pool(),
-                                    max_restarts=0)
+        parts = orders.map_batches(nation_partials, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        # partials are bounded by |nations| per batch at ANY corpus scale —
+        # fold them on the driver instead of a sliver-granular sort shuffle
+        rev = np.zeros(nnat, np.float64)
+        cnt = np.zeros(nnat, np.int64)
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            # iter_batches may concatenate several partial tables into one
+            # batch, repeating codes — bincount accumulates duplicates
+            # (fancy-index += would keep only one contribution per code)
+            c = np.asarray(b["code"])
+            rev += np.bincount(c, weights=np.asarray(b["revenue"]),
+                               minlength=nnat)
+            cnt += np.bincount(c, weights=np.asarray(b["n_orders"]),
+                               minlength=nnat).astype(np.int64)
+        keep = cnt > 0
+        out = pa.table({
+            "n_name": pa.array(nname[keep], pa.string()),
+            "revenue": pa.array(rev[keep]),
+            "n_orders": pa.array(cnt[keep]),
+        })
+        return _int_encode(out, {"revenue": 2})
     else:
         # dimension over budget: partitioned hash join, then the (tiny,
         # asserted) nation map attaches per batch
@@ -841,36 +865,46 @@ def q_revenue_by_priority(sf_dir: str, *,
         codes = np.asarray(pr.indices).astype(np.int64)
         cats = pr.dictionary.to_pylist()
         order_o = np.argsort(okey)
-        lookup_ref = ray.put((okey[order_o], codes[order_o], len(cats)))
+        ncat = len(cats)
+        lookup_ref = ray.put((okey[order_o], codes[order_o]))
 
-        class RevenuePartials:
-            def __init__(self):
-                self.ok, self.code, self.ncat = ray.get(lookup_ref)
+        def revenue_partials(batch: pa.Table) -> pa.Table:
+            # broadcast lookup (per-worker object cache, zero-copy numpy)
+            ok, code = ray.get(lookup_ref)
+            disc = np.asarray(pc.multiply(
+                batch["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), batch["l_discount"])))
+            k = np.asarray(batch["l_orderkey"])
+            idx = np.clip(np.searchsorted(ok, k), 0, len(ok) - 1)
+            hit = ok[idx] == k  # inner-join semantics
+            matched = code[idx][hit]
+            sums = np.bincount(matched, weights=disc[hit], minlength=ncat)
+            cnts = np.bincount(matched, minlength=ncat)
+            return pa.table({
+                "code": pa.array(np.arange(ncat, dtype=np.int64)),
+                "revenue": pa.array(sums, pa.float64()),
+                "n": pa.array(cnts.astype(np.int64))})
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                disc = np.asarray(pc.multiply(
-                    batch["l_extendedprice"],
-                    pc.subtract(pa.scalar(1.0), batch["l_discount"])))
-                k = np.asarray(batch["l_orderkey"])
-                idx = np.clip(np.searchsorted(self.ok, k), 0,
-                              len(self.ok) - 1)
-                hit = self.ok[idx] == k  # inner-join semantics
-                sums = np.bincount(self.code[idx][hit],
-                                   weights=disc[hit], minlength=self.ncat)
-                return pa.table({
-                    "code": pa.array(np.arange(self.ncat, dtype=np.int64)),
-                    "revenue": pa.array(sums, pa.float64())})
-
-        parts = li.map_batches(RevenuePartials, batch_format="pyarrow",
-                               zero_copy_batch=True, concurrency=_pool(),
-                               max_restarts=0)
-        merged = _to_table(parts.groupby("code").aggregate(
-            Sum("revenue", alias_name="revenue")))
-        code_arr = np.asarray(merged["code"])
+        parts = li.map_batches(revenue_partials, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        # partials are bounded by |priorities| per batch at ANY scale —
+        # driver fold, not a sliver-granular sort shuffle
+        rev = np.zeros(ncat, np.float64)
+        cnt = np.zeros(ncat, np.int64)
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            # iter_batches may concatenate several partial tables into one
+            # batch, repeating codes — bincount accumulates duplicates
+            # (fancy-index += would keep only one contribution per code)
+            c = np.asarray(b["code"])
+            rev += np.bincount(c, weights=np.asarray(b["revenue"]),
+                               minlength=ncat)
+            cnt += np.bincount(c, weights=np.asarray(b["n"]),
+                               minlength=ncat).astype(np.int64)
+        keep = cnt > 0  # GROUP BY emits only priorities with join matches
         out = pa.table({
-            "o_orderpriority": pa.array([cats[c] for c in code_arr],
-                                        pa.string()),
-            "revenue": merged["revenue"],
+            "o_orderpriority": pa.array(
+                [cats[i] for i in range(ncat) if keep[i]], pa.string()),
+            "revenue": pa.array(rev[keep]),
         })
         return _int_encode(out, {"revenue": 2})
 
