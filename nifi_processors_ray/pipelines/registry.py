@@ -955,23 +955,49 @@ FROM events GROUP BY event_type
 
 def q_events_hourly_window(sf_dir: str):
     """Tumbling event-time window: truncate ts to the hour inside
-    map_batches (no shuffle), then grouped aggregate."""
-    from ray.data.aggregate import Count, Sum
+    map_batches (no shuffle) and PRE-AGGREGATE per batch — the exchange
+    carries (groups x batches) partial rows, not the full event stream.
+    Partials under the standard byte budget fold in one driver-side Arrow
+    group_by; past it (billions of (user, hour) groups at corpus scale)
+    the distributed groupby over the same partials runs instead."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.similarity import _try_gather_small
 
     events = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def bucket(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch["ts"], unit="hour")
-        return pa.table({"user_id": batch["user_id"], "hour": hour,
-                         "value": batch["value"]})
+    def partial(batch: pa.Table) -> pa.Table:
+        # cast to us: the parquet ts unit is seconds, and the oracle's
+        # date_trunc comes back timestamp[us] — a value-equal result must
+        # be dtype-equal too (the driver's value hash is type-sensitive)
+        hour = pc.floor_temporal(batch["ts"], unit="hour").cast(
+            pa.timestamp("us"))
+        t = pa.table({"user_id": batch["user_id"], "hour": hour,
+                      "value": batch["value"],
+                      "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["user_id", "hour"]).aggregate(
+            [("value", "sum"), ("one", "sum")])
+        return g  # user_id, hour, value_sum (SUM), one_sum (COUNT(*))
 
-    out = (
-        events.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="n_events"),
-                   Sum("value", alias_name="sum_value"))
-    )
-    return _int_encode(_to_table(out), {"sum_value": 2})
+    parts = events.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    small = _try_gather_small(parts)
+    if small is not None:
+        g = small.group_by(["user_id", "hour"]).aggregate(
+            [("value_sum", "sum"), ("one_sum", "sum")])
+        out = pa.table({"user_id": g["user_id"], "hour": g["hour"],
+                        "n_events": g["one_sum_sum"],
+                        "sum_value": g["value_sum_sum"]})
+        return _int_encode(out, {"sum_value": 2})
+    out = parts.groupby(["user_id", "hour"]).aggregate(
+        Sum("one_sum", alias_name="n_events"),
+        Sum("value_sum", alias_name="sum_value"))
+    tab = _to_table(out)
+    # Ray's sort shuffle can revert the timestamp unit to the source's;
+    # re-pin us so both branches emit the oracle's dtype
+    tab = tab.set_column(tab.column_names.index("hour"), "hour",
+                         tab["hour"].cast(pa.timestamp("us")))
+    return _int_encode(tab, {"sum_value": 2})
 
 
 SQL_EVENTS_HOURLY_WINDOW = """

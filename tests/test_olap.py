@@ -71,3 +71,20 @@ def test_revenue_by_priority_broadcast_equals_join_fallback():
     b = q_revenue_by_priority(
         sf, max_broadcast_bytes=0).sort_by("o_orderpriority")
     assert a.equals(b)
+
+
+def test_events_hourly_window_fast_path_equals_distributed(monkeypatch):
+    """The driver-side partial fold and the distributed groupby over the
+    same partials return identical tables (dtype included — the driver's
+    value hash is type-sensitive)."""
+    from nifi_processors_ray.pipelines import registry
+    from nifi_processors_ray.stages import similarity
+
+    sf = "/root/testdata/sf0.001"
+    keys = [("user_id", "ascending"), ("hour", "ascending")]
+    fast = registry.q_events_hourly_window(sf).sort_by(keys)
+    monkeypatch.setattr(similarity, "_try_gather_small",
+                        lambda ds, budget=0: None)
+    dist = registry.q_events_hourly_window(sf).sort_by(keys)
+    assert fast.schema.equals(dist.schema)
+    assert fast.equals(dist)
