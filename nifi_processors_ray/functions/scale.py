@@ -46,3 +46,36 @@ def default_pool(explicit=None, *, floor: int = 2, per_cpu: float = 1.0):
     if explicit is not None:
         return explicit
     return (1, max(floor, int(cluster_cpus() * per_cpu)))
+
+
+_STAGE_CACHE: dict = {}
+_STAGE_CACHE_MAX = 64
+
+
+def cached_stage(cls, *args, **kwargs):
+    """Stateless ``map_batches`` wrapper around a stage CLASS whose setup
+    is cheap (compiled regex alternations, tiny lookup tables, an
+    ObjectRef to ``ray.get``): the instance is built ONCE PER WORKER
+    PROCESS and reused across tasks, batches and pipelines — the same
+    setup-once guarantee as an actor pool, without paying actor-pool
+    startup (~1-2s on this host) on every pipeline launch, because plain
+    tasks run on Ray's long-lived worker processes.
+
+    Use an actor pool instead when the state is expensive enough that it
+    must never be rebuilt (large models), must be bounded to N copies
+    (GPU residency), or when per-actor accumulation matters (the
+    provenance counter). Args/kwargs must be hashable (ObjectRefs are;
+    pass specs as JSON strings)."""
+    key = (cls.__module__, cls.__qualname__, args,
+           tuple(sorted(kwargs.items())))
+
+    def fn(batch):
+        inst = _STAGE_CACHE.get(key)
+        if inst is None:
+            while len(_STAGE_CACHE) >= _STAGE_CACHE_MAX:
+                _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
+            inst = _STAGE_CACHE.setdefault(key, cls(*args, **kwargs))
+        return inst(batch)
+
+    fn.__name__ = f"cached_{cls.__name__}"
+    return fn

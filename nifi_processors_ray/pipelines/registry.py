@@ -46,6 +46,15 @@ def _pool(explicit=None):
     return default_pool(explicit)
 
 
+def _cached(cls, *args, **kwargs):
+    """Per-worker cached stage instance as a stateless map_batches fn —
+    for cheap-setup stages where an actor pool's startup is the dominant
+    cost (functions/scale.cached_stage)."""
+    from ..functions.scale import cached_stage
+
+    return cached_stage(cls, *args, **kwargs)
+
+
 def _partitions(floor: int) -> int:
     """Cluster-sized shuffle partition count (scale.py)."""
     from ..functions.scale import default_partitions
@@ -1141,9 +1150,9 @@ def q_quality_scores(sf_dir: str):
     quality_scores / repetition_scores pair — both kernels share the
     tokenize and one driver row verifies both.)"""
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    tbl = _to_table(docs.map_batches(_QualityRepetitionStage,
+    tbl = _to_table(docs.map_batches(_cached(_QualityRepetitionStage),
                                      batch_format="pyarrow",
-                                     zero_copy_batch=True, concurrency=_pool()))
+                                     zero_copy_batch=True))
     return _round_cols(tbl, {"alpha_ratio": 6, "digit_ratio": 6,
                              "punct_ratio": 6, "stopword_ratio": 6,
                              "quality_score": 6, "dup_line_frac": 6,
@@ -1255,9 +1264,8 @@ def q_approx_top_tokens(sf_dir: str):
 
 def q_lang_id(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    return docs.map_batches(LangIdStage, batch_format="pyarrow",
-                            zero_copy_batch=True,
-                            concurrency=_pool()).select_columns(
+    return docs.map_batches(_cached(LangIdStage), batch_format="pyarrow",
+                            zero_copy_batch=True).select_columns(
         ["doc_id", "lang", "lang_pred"]
     )
 
@@ -1516,9 +1524,8 @@ def q_decontaminate(sf_dir: str):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = docs.map_batches(
-        ContaminationStage, fn_constructor_args=(ref,),
-        fn_constructor_kwargs={"k": 1, "threshold": 0.3},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool(),
+        _cached(ContaminationStage, ref, k=1, threshold=0.3),
+        batch_format="pyarrow", zero_copy_batch=True,
     ).select_columns(["doc_id", "n_shingles", "n_overlap", "overlap_frac",
                       "contaminated"])
     return _round_cols(_to_table(out), {"overlap_frac": 6})
@@ -1718,8 +1725,8 @@ def q_image_features(sf_dir: str):
 
     def run(tbl: pa.Table, codec: str):
         media = rd.from_arrow(tbl)
-        out = media.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                                batch_size=64, concurrency=_pool())
+        out = media.map_batches(_cached(ImageFeatureStage),
+                                batch_format="pyarrow", batch_size=64)
         return out.map_batches(
             lambda b, c=codec: b.append_column(
                 "codec", pa.array([c] * b.num_rows, pa.string())),
@@ -1741,8 +1748,8 @@ def q_audio_features_wav(sf_dir: str):
     rd = _rd()
     media = rd.from_arrow(synthesize_wav_media(256, seconds=0.25,
                                                sample_rate=8000))
-    out = media.map_batches(AudioFeatureStage, batch_format="pyarrow",
-                            batch_size=32, concurrency=_pool())
+    out = media.map_batches(_cached(AudioFeatureStage),
+                            batch_format="pyarrow", batch_size=32)
     out = out.select_columns(["media_id", "sample_rate", "duration_sec"])
     return _round_cols(_to_table(out), {"duration_sec": 6})
 
@@ -1755,10 +1762,8 @@ def q_video_frames_y4m(sf_dir: str):
     rd = _rd()
     media = rd.from_arrow(synthesize_y4m_media(128, width=32, height=24,
                                                n_frames=8))
-    out = media.map_batches(Y4MFrameSampleStage,
-                            fn_constructor_kwargs={"every": 2},
-                            batch_format="pyarrow", batch_size=16,
-                            concurrency=_pool())
+    out = media.map_batches(_cached(Y4MFrameSampleStage, every=2),
+                            batch_format="pyarrow", batch_size=16)
     return out.select_columns(["media_id", "frame_idx"])
 
 
@@ -2384,7 +2389,7 @@ SELECT UNNEST(range(256)) AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
 """
 
 SQL_VIDEO_FRAMES = """
-SELECT media_id, frame_idx
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx
 FROM (SELECT UNNEST(range(128)) AS media_id)
 CROSS JOIN (SELECT UNNEST([0, 2, 4, 6]) AS frame_idx)
 """
