@@ -510,7 +510,15 @@ def q_cdc_incremental_agg(sf_dir: str):
     def frame(batch: pa.Table) -> pa.Table:
         op = pc.if_else(pc.equal(batch["event_type"], "error"),
                         pa.scalar("delete"), pa.scalar("upsert"))
-        return batch.append_column("op", op)
+        # aggregate integer-valued CENTS: integer-valued float64 sums are
+        # exact in ANY summation order (up to 2^53), so the incremental
+        # retract/insert accumulation cannot drift onto a rounding
+        # knife-edge vs the oracle's direct SUM (observed at sf0.1: one
+        # group off by 1 unit from float residue at a .5 boundary)
+        cents = pc.round(pc.multiply(batch["value"], pa.scalar(100.0)),
+                         round_mode="half_towards_infinity")
+        return (batch.append_column("op", op)
+                .append_column("value_cents", cents))
 
     framed = events.map_batches(frame, batch_format="pyarrow",
                                 zero_copy_batch=True)
@@ -530,7 +538,7 @@ def q_cdc_incremental_agg(sf_dir: str):
     try:
         view = IncrementalAggView(lake, os.path.join(root, "view"),
                                   name="by_type", group_cols=["event_type"],
-                                  value_col="value")
+                                  value_col="value_cents")
         for p in (0, 1):
             lake.apply_epoch(
                 framed.map_batches(_parity(p), batch_format="pyarrow",
@@ -552,7 +560,7 @@ latest AS (
   SELECT * FROM framed
   QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
 SELECT event_type, COUNT(*) AS cnt,
-       CAST(ROUND(SUM(value)) AS BIGINT) AS sum_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
 FROM latest WHERE op = 'upsert' GROUP BY event_type
 """
 
