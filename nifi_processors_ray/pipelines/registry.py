@@ -394,11 +394,14 @@ def q_stage_provenance(sf_dir: str):
     docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
     prov = Provenance()
     try:
+        # the instrumented stage runs as a stateless fn wrap (the compiled
+        # instance ships in the task closure, the q_rule_route pattern) —
+        # the counter ACTOR is the stateful piece, and wrap_class remains
+        # the actor-pool form for expensive stages (tests cover both)
         out = docs.map_batches(
-            prov.wrap_class("rule_route", RuleEngineStage,
-                            fn_constructor_args=(_RULE_SPEC,),
-                            route_col="route"),
-            batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool())
+            prov.wrap("rule_route", RuleEngineStage(_RULE_SPEC),
+                      route_col="route"),
+            batch_format="pyarrow", zero_copy_batch=True)
         out.count()  # drive the stream through the instrumented stage
         rep = prov.report()
     finally:
