@@ -668,13 +668,19 @@ FROM latest WHERE op = 'upsert'
 
 
 def q_q1_pricing_summary(sf_dir: str):
-    from ray.data.aggregate import Count, Mean, Sum
+    """TPC-H Q1 shape: per-batch partial aggregation inside map_batches
+    (the exchange carries (flag, status)-bounded partial rows, never the
+    lineitem stream), byte-guarded driver fold with a distributed-groupby
+    fallback; means derive from folded sums/counts."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.similarity import _try_gather_small
 
     li = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
                         "l_extendedprice", "l_discount", "l_shipdate"])
 
-    def prep(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         import datetime
 
         batch = batch.filter(
@@ -683,25 +689,53 @@ def q_q1_pricing_summary(sf_dir: str):
         )
         disc = pc.multiply(batch["l_extendedprice"],
                            pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return batch.append_column("disc_price", disc).drop_columns(["l_shipdate"])
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "l_quantity": batch["l_quantity"],
+            "l_extendedprice": batch["l_extendedprice"],
+            "disc_price": disc,
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("one", "sum")])
 
-    out = (
-        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_extendedprice", alias_name="avg_price"),
-            Count(alias_name="count_order"),
-        )
-    )
-    return _int_encode(
-        _to_table(out),
-        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
-         "avg_qty": 4, "avg_price": 4},
-    )
+    def finish(g: pa.Table) -> pa.Table:
+        n = pc.cast(g["count_order"], pa.float64())
+        out = pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["sum_qty"],
+            "sum_base_price": g["sum_base_price"],
+            "sum_disc_price": g["sum_disc_price"],
+            "avg_qty": pc.divide(g["sum_qty"], n),
+            "avg_price": pc.divide(g["sum_base_price"], n),
+            "count_order": g["count_order"],
+        })
+        return _int_encode(out, {"sum_qty": 2, "sum_base_price": 2,
+                                 "sum_disc_price": 2, "avg_qty": 4,
+                                 "avg_price": 4})
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    small = _try_gather_small(parts)
+    if small is not None:
+        g = small.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity_sum", "sum"), ("l_extendedprice_sum", "sum"),
+             ("disc_price_sum", "sum"), ("one_sum", "sum")])
+        g = g.rename_columns([{"l_quantity_sum_sum": "sum_qty",
+                               "l_extendedprice_sum_sum": "sum_base_price",
+                               "disc_price_sum_sum": "sum_disc_price",
+                               "one_sum_sum": "count_order"}.get(c, c)
+                              for c in g.column_names])
+        return finish(g)
+    out = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty"),
+        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+        Sum("disc_price_sum", alias_name="sum_disc_price"),
+        Sum("one_sum", alias_name="count_order"))
+    return finish(_to_table(out))
 
 
 SQL_Q1 = """

@@ -29,9 +29,12 @@ def rollup_agg(ds, *, group_cols: list[str], value_col: str):
     group values exactly like the SQL twin.
 
     Scale shape: one corpus-wide hash aggregate at the finest level; the
-    coarser levels fold the materialized fine aggregate (SUM of sums /
-    SUM of counts — algebraic, so re-aggregation is exact), each a shuffle
-    of group-cardinality-sized input."""
+    coarser levels fold the fine aggregate (SUM of sums / SUM of counts —
+    algebraic, so re-aggregation is exact). When the fine aggregate fits
+    the standard byte budget every coarser level folds in driver-side
+    Arrow kernels and the call returns a ``pyarrow.Table`` (one execution
+    total); past the budget the levels run as group-cardinality-sized
+    distributed shuffles over the materialized fine Dataset."""
     from ray.data.aggregate import Count, Sum
 
     sum_col = f"sum_{value_col}"
@@ -41,8 +44,51 @@ def rollup_agg(ds, *, group_cols: list[str], value_col: str):
 
     fine = (ds.groupby(group_cols)
             .aggregate(Sum(value_col, alias_name=sum_col),
-                       Count(alias_name="n_rows"))
-            .materialize())
+                       Count(alias_name="n_rows")))
+
+    from .similarity import _try_gather_small
+
+    small = _try_gather_small(fine)
+    # zero-row: fall through so the empty-input shape matches the
+    # distributed path (no rollup rows), not a null grand-total row
+    if (small is not None and small.num_rows
+            and set(group_cols) <= set(small.column_names)):
+        types = {c: small.schema.field(c).type for c in group_cols}
+
+        def level_tab(src: pa.Table, level: int) -> pa.Table:
+            gid = (1 << level) - 1
+            kept = group_cols[: k - level]
+            n = src.num_rows
+            cols = {c: (src[c] if c in kept else _null_col(n, types[c]))
+                    for c in group_cols}
+            cols[sum_col] = src[sum_col]
+            cols["n_rows"] = src["n_rows"]
+            cols["grouping_id"] = pa.array([gid] * n, pa.int64())
+            return pa.table(cols)
+
+        pieces = [level_tab(small, 0)]
+        for level in range(1, k + 1):
+            kept = group_cols[: k - level]
+            if kept:
+                g = small.group_by(kept).aggregate(
+                    [(sum_col, "sum"), ("n_rows", "sum")])
+                g = g.rename_columns(
+                    [{f"{sum_col}_sum": sum_col,
+                      "n_rows_sum": "n_rows"}.get(c, c)
+                     for c in g.column_names])
+            else:
+                import pyarrow.compute as pc
+
+                g = pa.table({
+                    sum_col: pa.array([pc.sum(small[sum_col]).as_py()],
+                                      small.schema.field(sum_col).type),
+                    "n_rows": pa.array([pc.sum(small["n_rows"]).as_py()],
+                                       pa.int64()),
+                })
+            pieces.append(level_tab(g, level))
+        return pa.concat_tables(pieces, promote_options="default")
+
+    fine = fine.materialize()
     types = {c: fine.schema().base_schema.field(c).type for c in group_cols}
 
     def finalize(level: int):
